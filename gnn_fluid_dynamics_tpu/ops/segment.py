@@ -1,0 +1,114 @@
+"""Graph aggregation primitives for TPU.
+
+The reference's hot inner loop is ``scatter_add`` of edge features onto mesh
+vertices followed by gathering each cell's 3 vertices
+(``src/models/Fvgn.py:298-325``). On TPU, XLA lowers ``segment_sum`` to a
+serialized scatter which wastes the VPU, so this module offers two layouts:
+
+1. ``segment_sum`` — the portable baseline (``jax.ops.segment_sum``).
+2. *incidence gather* — a precomputed, padded CSR-like table
+   ``(V, max_degree)`` of (edge id, half) pairs per vertex; aggregation becomes
+   pure gathers + a masked sum over a small static axis, which XLA vectorizes
+   and fuses. Mesh vertex degree is ~6 for triangulations, so the padding waste
+   is small and the win over scatter is large.
+
+The incidence table is static per mesh geometry and is built offline in numpy.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def segment_sum(data: jax.Array, segment_ids: jax.Array, num_segments: int) -> jax.Array:
+    return jax.ops.segment_sum(data, segment_ids, num_segments=num_segments)
+
+
+def masked_mean(x: jax.Array, mask: jax.Array, axis=None, keepdims=False):
+    """Mean over elements where mask is True (mask broadcasts against x)."""
+    m = mask.astype(x.dtype)
+    while m.ndim < x.ndim:
+        m = m[..., None]
+    s = jnp.sum(x * m, axis=axis, keepdims=keepdims)
+    n = jnp.sum(m * jnp.ones_like(x), axis=axis, keepdims=keepdims)
+    return s / jnp.maximum(n, 1.0)
+
+
+class VertexIncidence(NamedTuple):
+    """Padded incidence table: for vertex v, ``edge_id[v, j]`` is the j-th
+    incident face and ``half[v, j]`` in {0, 1} says whether v is the
+    sender (0, forward half) or receiver (1, reverse half); ``valid[v, j]``
+    masks padding."""
+    edge_id: np.ndarray  # (V, D) int32
+    half: np.ndarray     # (V, D) int32
+    valid: np.ndarray    # (V, D) bool
+
+
+def build_vertex_incidence(vertex_edge_index: np.ndarray, num_vertices: int,
+                           max_degree: int = 0) -> VertexIncidence:
+    """Build the static vertex<-edge incidence table from (2, F) sender/receiver
+    pairs. ``max_degree`` pads/clips the table width (0 = use the mesh max)."""
+    senders, receivers = np.asarray(vertex_edge_index)
+    F = senders.shape[0]
+    counts = np.zeros(num_vertices, np.int64)
+    np.add.at(counts, senders, 1)
+    np.add.at(counts, receivers, 1)
+    D = int(counts.max()) if max_degree == 0 else max_degree
+    edge_id = np.zeros((num_vertices, D), np.int32)
+    half = np.zeros((num_vertices, D), np.int32)
+    valid = np.zeros((num_vertices, D), bool)
+    cursor = np.zeros(num_vertices, np.int64)
+    for h, verts in enumerate((senders, receivers)):
+        for e in range(F):
+            v = verts[e]
+            j = cursor[v]
+            if j >= D:
+                raise ValueError(f"vertex degree exceeds max_degree={D}")
+            edge_id[v, j] = e
+            half[v, j] = h
+            valid[v, j] = True
+            cursor[v] += 1
+    return VertexIncidence(edge_id, half, valid)
+
+
+def aggregate_edges_to_vertices_scatter(
+        fwd: jax.Array, rev: jax.Array, vertex_edge_index: jax.Array,
+        num_vertices: int) -> jax.Array:
+    """Baseline: scatter-add the forward half onto senders and the reverse half
+    onto receivers (exactly reference ``Fvgn.py:307-314``).
+
+    fwd, rev: (F, H/2) -> (V, H/2).
+    """
+    senders, receivers = vertex_edge_index[0], vertex_edge_index[1]
+    out = jax.ops.segment_sum(fwd, senders, num_segments=num_vertices)
+    out = out + jax.ops.segment_sum(rev, receivers, num_segments=num_vertices)
+    return out
+
+
+def aggregate_edges_to_vertices_gather(
+        fwd: jax.Array, rev: jax.Array, incidence_edge_id: jax.Array,
+        incidence_half: jax.Array, incidence_valid: jax.Array) -> jax.Array:
+    """Incidence-gather aggregation: out[v] = sum_j half==0 ? fwd[e_j] : rev[e_j].
+
+    fwd, rev: (F, H/2); incidence arrays (V, D) -> (V, H/2). Pure gathers and a
+    masked sum over the static degree axis — no scatter.
+    """
+    g_fwd = fwd[incidence_edge_id]     # (V, D, H/2)
+    g_rev = rev[incidence_edge_id]
+    sel = jnp.where((incidence_half == 1)[..., None], g_rev, g_fwd)
+    sel = sel * incidence_valid[..., None].astype(fwd.dtype)
+    return jnp.sum(sel, axis=1)
+
+
+def gather_vertices_to_cells(vertex_values: jax.Array,
+                             vertex_face: jax.Array) -> jax.Array:
+    """Average of each cell's 3 vertex values (reference ``Fvgn.py:317-321``).
+
+    vertex_values: (V, H), vertex_face: (3, C) -> (C, H).
+    """
+    return (vertex_values[vertex_face[0]] + vertex_values[vertex_face[1]]
+            + vertex_values[vertex_face[2]]) / 3.0
