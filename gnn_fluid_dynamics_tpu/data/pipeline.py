@@ -1,0 +1,217 @@
+"""Host-side data pipeline: trajectory store, sample map, padded batching.
+
+The reference streams (mesh, timestep) windows out of HDF5 through PyG
+DataLoader workers (``src/datasets/DataSet.py``, ``src/utils/sampler.py``).
+On TPU the goal is fixed-shape device buffers and a tiny number of jit shapes,
+so the pipeline here:
+
+* keeps each trajectory in host memory (numpy, time-major) — meshes are a few
+  MB; 50 sims x 400 steps of the reference workload fit comfortably;
+* pads every mesh to one shared bucket shape, builds the static batched
+  geometry graph ONCE per (batch-size, bucket) pair, and per step only swaps
+  the time-window field arrays in — a single host->HBM transfer per batch;
+* implements the reference's stride/window/bundling sample-map logic
+  (``DataSet.py:71-125``) and its sampler orders: random batches for training,
+  timestep-major rollout order (``sampler.py:5-46``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnn_fluid_dynamics_tpu.graph import MeshGraph, batch_graphs, from_geometry
+from gnn_fluid_dynamics_tpu.ops.mls import compute_mls_weights
+
+FIELD_KEYS = ("cell_velocity", "cell_pressure", "face_velocity",
+              "face_pressure", "face_flux")
+
+
+@dataclasses.dataclass
+class Trajectory:
+    """One mesh + its time series (time-major numpy arrays)."""
+    mesh_id: str
+    geom: Dict[str, np.ndarray]
+    fields: Dict[str, np.ndarray]          # key -> (T, N, D)
+    dt: float = 0.01
+    reynolds: float = 0.0
+    grad_weights: Dict[str, np.ndarray] = dataclasses.field(default_factory=dict)
+
+    @property
+    def num_timesteps(self) -> int:
+        return self.fields["cell_velocity"].shape[0]
+
+
+def compute_window(timestep_stride: Optional[int],
+                   pushforward_factor: Optional[int],
+                   bundle_size: Optional[int],
+                   mode: str = "train") -> Tuple[int, int]:
+    """(stride, data_window) per the reference's precedence
+    (``DataSet.py:71-89``)."""
+    if timestep_stride:
+        stride, window = timestep_stride, timestep_stride + 1
+    else:
+        stride, window = 1, 2
+    if pushforward_factor:
+        stride, window = 1, pushforward_factor + 2
+    if bundle_size:
+        window = bundle_size + 1
+        if mode == "rollout":
+            stride = bundle_size
+    return stride, window
+
+
+class MeshDataset:
+    """In-memory dataset over a set of trajectories with one shared padded
+    bucket. The analogue of reference ``DataSet`` minus file handles."""
+
+    def __init__(self, trajectories: Sequence[Trajectory],
+                 stride: int = 1, data_window: int = 2,
+                 timestep_range: Optional[Tuple[int, int]] = None,
+                 pad_multiple: int = 128,
+                 with_incidence: bool = False):
+        assert trajectories
+        self.trajectories = list(trajectories)
+        self.by_id = {t.mesh_id: t for t in self.trajectories}
+        self.stride = stride
+        self.data_window = data_window
+        self.pad_multiple = pad_multiple
+        self.with_incidence = with_incidence
+
+        def rup(n):
+            m = max(pad_multiple, 1)
+            return ((n + m - 1) // m) * m
+
+        self.pad_to = {
+            "cell": rup(max(t.geom["cell_pos"].shape[0] for t in self.trajectories)),
+            "face": rup(max(t.geom["face_pos"].shape[0] for t in self.trajectories)),
+            "vertex": rup(max(t.geom["vertex_pos"].shape[0] for t in self.trajectories)),
+        }
+
+        num_ts = min(t.num_timesteps for t in self.trajectories)
+        if timestep_range:
+            start, end = timestep_range[:2]
+            assert num_ts >= end - 2 + data_window, (num_ts, end, data_window)
+        else:
+            start, end = 0, num_ts - data_window + 1
+        # (mesh, ts) sample map, timestep-major like the reference
+        # (DataSet.py:123-125)
+        self.sample_map: List[Tuple[str, int]] = [
+            (t.mesh_id, ts)
+            for ts in range(start, end, stride)
+            for t in self.trajectories
+        ]
+        self.timestep_range = (start, end)
+
+        self._static_graphs: Dict[str, MeshGraph] = {}
+        self._batched_cache: Dict[Tuple[str, ...], MeshGraph] = {}
+
+    def __len__(self):
+        return len(self.sample_map)
+
+    def sim_ids(self) -> List[str]:
+        return [t.mesh_id for t in self.trajectories]
+
+    # ---- static geometry ---------------------------------------------------
+    def _static_graph(self, mesh_id: str) -> MeshGraph:
+        if mesh_id not in self._static_graphs:
+            t = self.by_id[mesh_id]
+            self._static_graphs[mesh_id] = from_geometry(
+                t.geom, fields=t.grad_weights, dt=t.dt * self.stride,
+                reynolds=t.reynolds, pad_to=self.pad_to,
+                with_incidence=self.with_incidence)
+        return self._static_graphs[mesh_id]
+
+    def _batched_static(self, mesh_ids: Tuple[str, ...]) -> MeshGraph:
+        if mesh_ids not in self._batched_cache:
+            self._batched_cache[mesh_ids] = batch_graphs(
+                [self._static_graph(m) for m in mesh_ids])
+        return self._batched_cache[mesh_ids]
+
+    # ---- field windows -----------------------------------------------------
+    def _window(self, mesh_id: str, ts: int) -> Dict[str, np.ndarray]:
+        t = self.by_id[mesh_id]
+        out = {}
+        for key in FIELD_KEYS:
+            if key not in t.fields:
+                continue
+            arr = t.fields[key][ts:ts + self.data_window]       # (W, N, D)
+            npad = self.pad_to["cell" if key.startswith("cell") else "face"]
+            x = np.transpose(arr, (1, 0, 2))                    # (N, W, D)
+            if x.shape[0] < npad:
+                x = np.pad(x, ((0, npad - x.shape[0]), (0, 0), (0, 0)))
+            out[key] = x
+        return out
+
+    def get_batch(self, samples: Sequence[Tuple[str, int]]) -> MeshGraph:
+        """Assemble one batched MeshGraph for [(mesh_id, ts), ...]."""
+        mesh_ids = tuple(m for m, _ in samples)
+        g = self._batched_static(mesh_ids)
+        winds = [self._window(m, ts) for m, ts in samples]
+        updates = {}
+        for key in FIELD_KEYS:
+            if key in winds[0]:
+                arr = np.concatenate([w[key] for w in winds], axis=0)
+                # NOTE: the reference's 1/0.001 OpenFOAM flux scaling
+                # (DataSet.py:259) is applied in the HDF5 loader, not here —
+                # trajectories store flux in internal units.
+                updates[key] = jnp.asarray(arr)
+        return g.replace(**updates)
+
+    def get_item(self, idx: int) -> MeshGraph:
+        return self.get_batch([self.sample_map[idx]])
+
+    # ---- rollout ground truth ----------------------------------------------
+    def trajectory_targets(self, mesh_ids: Sequence[str], t0: int,
+                           num_steps: int) -> Tuple[jax.Array, jax.Array]:
+        """(T, sum_C, 2) cell velocity + (T, sum_C, 1) pressure ground truth,
+        padded/batched to match a ``get_batch`` graph; row i == state at
+        t0 + (i+1)*stride."""
+        Cp = self.pad_to["cell"]
+        vs, ps = [], []
+        for i in range(num_steps):
+            ts = t0 + (i + 1) * self.stride
+            v_rows, p_rows = [], []
+            for m in mesh_ids:
+                t = self.by_id[m]
+                v = t.fields["cell_velocity"][ts]
+                p = t.fields["cell_pressure"][ts]
+                v = np.pad(v, ((0, Cp - v.shape[0]), (0, 0)))
+                p = np.pad(p, ((0, Cp - p.shape[0]), (0, 0)))
+                v_rows.append(v)
+                p_rows.append(p)
+            vs.append(np.concatenate(v_rows, axis=0))
+            ps.append(np.concatenate(p_rows, axis=0))
+        return jnp.asarray(np.stack(vs)), jnp.asarray(np.stack(ps))
+
+    # ---- MLS weights -------------------------------------------------------
+    def add_grad_weights(self, loc: str, poly_order: int):
+        """Precompute MLS weights per mesh (reference
+        ``MovingLeastSquaresWeights.add_weights_to_dataset``, maths.py:34-107)."""
+        for t in self.trajectories:
+            wkey = f"{loc}_grad_weights"
+            if wkey in t.grad_weights:
+                continue
+            nb, w = compute_mls_weights(t.geom[f"{loc}_pos"], poly_order)
+            t.grad_weights[wkey] = w
+            t.grad_weights[f"{loc}_grad_neighbours"] = nb
+        self._static_graphs.clear()
+        self._batched_cache.clear()
+
+
+def train_batches(dataset: MeshDataset, batch_size: int, rng: np.random.Generator):
+    """Yield shuffled training batches of (mesh_id, ts) samples (drop last)."""
+    order = rng.permutation(len(dataset))
+    for i in range(0, len(order) - batch_size + 1, batch_size):
+        yield [dataset.sample_map[j] for j in order[i:i + batch_size]]
+
+
+def rollout_batch(dataset: MeshDataset, t0: Optional[int] = None):
+    """The rollout initial batch: all trajectories at the range start
+    (reference ``RolloutSampler`` ordering, sampler.py:5-46)."""
+    t0 = dataset.timestep_range[0] if t0 is None else t0
+    return [(m, t0) for m in dataset.sim_ids()]

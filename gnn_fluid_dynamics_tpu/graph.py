@@ -88,6 +88,10 @@ class MeshGraph:
     cell_grad_neighbours: jax.Array = None  # (C, K) int32
     face_grad_weights: jax.Array = None     # (F, K, 2)
     face_grad_neighbours: jax.Array = None  # (F, K) int32
+    # --- optional precomputed vertex<-edge incidence (gather aggregation) ---
+    vertex_inc_edge: jax.Array = None       # (V, D) int32
+    vertex_inc_half: jax.Array = None       # (V, D) int32 0=fwd 1=rev
+    vertex_inc_valid: jax.Array = None      # (V, D) bool
 
     # ---- derived sizes (static) ----
     @property
@@ -130,6 +134,8 @@ def from_geometry(
     pad_multiple: int = 0,
     pad_to: Optional[Dict[str, int]] = None,
     dtype=jnp.float32,
+    with_incidence: bool = False,
+    max_degree: int = 0,
 ) -> MeshGraph:
     """Build a (single-graph) MeshGraph from a numpy geometry dict.
 
@@ -244,6 +250,15 @@ def from_geometry(
             kwargs[nkey] = jnp.asarray(
                 padf(fields[nkey], npad, value=(npad - 1) if npad > n else 0
                      ).astype(np.int32))
+    if with_incidence:
+        from gnn_fluid_dynamics_tpu.ops.segment import build_vertex_incidence
+        inc = build_vertex_incidence(np.asarray(geom["vertex_edge_index"]), V,
+                                     max_degree=max_degree)
+        # padded incidence rows point at the padded face slot, invalid
+        kwargs["vertex_inc_edge"] = jnp.asarray(
+            padf(inc.edge_id, Vp, value=pad_face).astype(np.int32))
+        kwargs["vertex_inc_half"] = jnp.asarray(padf(inc.half, Vp).astype(np.int32))
+        kwargs["vertex_inc_valid"] = jnp.asarray(padf(inc.valid, Vp).astype(bool))
     return MeshGraph(**kwargs)
 
 
@@ -297,10 +312,11 @@ def batch_graphs(graphs) -> MeshGraph:
     )
     for key in ("cell_velocity", "cell_pressure", "face_velocity",
                 "face_pressure", "face_flux", "cell_grad_weights",
-                "face_grad_weights"):
+                "face_grad_weights", "vertex_inc_half", "vertex_inc_valid"):
         vals = [getattr(g, key) for g in graphs]
         kwargs[key] = None if vals[0] is None else cat(vals)
-    for key, per in (("cell_grad_neighbours", C), ("face_grad_neighbours", F)):
+    for key, per in (("cell_grad_neighbours", C), ("face_grad_neighbours", F),
+                     ("vertex_inc_edge", F)):
         vals = [getattr(g, key) for g in graphs]
         kwargs[key] = None if vals[0] is None else cat(
             [v + i * per for i, v in enumerate(vals)])

@@ -1,0 +1,390 @@
+"""Core neural architecture: MLPs, GN blocks, encode-process-decode, integrators.
+
+Flax re-design of the reference's encoder/processor/decoder stack
+(``src/models/Fvgn.py:214-333``, ``src/models/Mgn.py:199-275``). One
+parameterized module family replaces the reference's 30 copy-pasted inner
+classes; variant wiring (block order, weight sharing, aggregation layout,
+conservative/vertex-potential blocks) is selected by a frozen
+:class:`ArchConfig`, so each jit sees fully static structure.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gnn_fluid_dynamics_tpu.graph import MeshGraph
+from gnn_fluid_dynamics_tpu.ops import segment as seg_ops
+
+
+@dataclasses.dataclass(frozen=True)
+class ArchConfig:
+    hidden: int = 128
+    mp_num: int = 15
+    dropout_rate: float = 0.0
+    block_order: str = "cell_first"   # "cell_first" (FVGN) | "face_first" (MGN)
+    share_blocks: bool = False        # FvgnF: one GN block applied mp_num times
+    aggregation: str = "segment"      # "segment" | "gather" edge->vertex layout
+    step_scalar: bool = False         # FvgnF: append normalized step index
+    compute_dtype: str = "float32"    # "bfloat16" runs the MLP stack on the
+    #                                   MXU in bf16 (params stay fp32); the
+    #                                   physics/integrator path stays fp32
+
+    @property
+    def dtype(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else jnp.float32
+
+
+class MLP(nn.Module):
+    """Linear-SiLU-[Dropout]-Linear-SiLU-[Dropout]-Linear [+LayerNorm]
+    (reference ``Model.build_mlp``, Model.py:12-40). ``dtype`` is the compute
+    dtype (params remain float32); outputs are cast back to float32 so the
+    physics path downstream is unaffected."""
+    hidden: int
+    out_size: int
+    layer_norm: bool = True
+    dropout_rate: float = 0.0
+    dtype: Optional[jnp.dtype] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        dt = self.dtype or jnp.float32
+        x = x.astype(dt)
+        x = nn.Dense(self.hidden, dtype=dt)(x)
+        x = nn.silu(x)
+        if self.dropout_rate > 0:
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = nn.Dense(self.hidden, dtype=dt)(x)
+        x = nn.silu(x)
+        if self.dropout_rate > 0:
+            x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
+        x = nn.Dense(self.out_size, dtype=dt)(x)
+        if self.layer_norm:
+            x = nn.LayerNorm(dtype=dt)(x)
+        return x.astype(jnp.float32)
+
+
+class AntisymMLP(nn.Module):
+    """Bias-free tanh MLP for antisymmetric edge features — odd activation and
+    no bias keep f(-x) = -f(x) (reference ``Conservative.build_mlp_antisym``,
+    Conservative.py:31-43)."""
+    hidden: int
+    out_size: int
+    layer_norm: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Dense(self.hidden, use_bias=False)(x)
+        x = nn.tanh(x)
+        x = nn.Dense(self.hidden, use_bias=False)(x)
+        x = nn.tanh(x)
+        x = nn.Dense(self.out_size, use_bias=False)(x)
+        if self.layer_norm:
+            x = nn.LayerNorm(use_bias=False)(x)
+        return x
+
+
+def aggregate_twice_mp(edge_attr: jax.Array, graph: MeshGraph,
+                       aggregation: str) -> jax.Array:
+    """The reference's 'twice message passing': chunk edge latents into
+    forward/reverse halves, scatter onto vertices, average each cell's 3
+    vertices (``Fvgn.py:305-321``). Returns (C, H/2)."""
+    H = edge_attr.shape[-1]
+    if aggregation == "gather" and graph.vertex_inc_edge is not None:
+        vtx = seg_ops.aggregate_edges_to_vertices_gather(
+            edge_attr, graph.vertex_inc_edge, graph.vertex_inc_half,
+            graph.vertex_inc_valid)
+    else:
+        fwd, rev = edge_attr[:, : H // 2], edge_attr[:, H // 2:]
+        vtx = seg_ops.aggregate_edges_to_vertices_scatter(
+            fwd, rev, graph.vertex_edge_index, graph.num_vertices)
+    return seg_ops.gather_vertices_to_cells(vtx, graph.vertex_face)
+
+
+class CellBlock(nn.Module):
+    """Edge->vertex->cell aggregation + cell MLP (reference ``Cell_Block``,
+    Fvgn.py:298-325)."""
+    cfg: ArchConfig
+
+    @nn.compact
+    def __call__(self, cell_attr, edge_attr, graph: MeshGraph,
+                 extra=None, train: bool = False):
+        cell_agg = aggregate_twice_mp(edge_attr, graph, self.cfg.aggregation)
+        parts = [cell_attr, cell_agg]
+        if extra is not None:
+            parts.append(jnp.broadcast_to(extra, (cell_attr.shape[0], extra.shape[-1])))
+        collected = jnp.concatenate(parts, axis=-1)
+        return MLP(self.cfg.hidden, self.cfg.hidden,
+                   dropout_rate=self.cfg.dropout_rate,
+                   dtype=self.cfg.dtype)(collected, train)
+
+
+class FaceBlock(nn.Module):
+    """[edge | cell_owner | cell_neighbour] -> face MLP (reference
+    ``Face_Block``, Fvgn.py:286-296)."""
+    cfg: ArchConfig
+
+    @nn.compact
+    def __call__(self, cell_attr, edge_attr, graph: MeshGraph,
+                 extra=None, train: bool = False):
+        row, col = graph.cell_edge_index[0], graph.cell_edge_index[1]
+        parts = [edge_attr, cell_attr[row], cell_attr[col]]
+        if extra is not None:
+            parts.append(jnp.broadcast_to(extra, (edge_attr.shape[0], extra.shape[-1])))
+        agg = jnp.concatenate(parts, axis=-1)
+        return MLP(self.cfg.hidden, self.cfg.hidden,
+                   dropout_rate=self.cfg.dropout_rate,
+                   dtype=self.cfg.dtype)(agg, train)
+
+
+class GNBlock(nn.Module):
+    """One processor block with residual connections. FVGN order: cell block
+    then face block (Fvgn.py:274-284); MGN order: face first (Mgn.py:216-226)."""
+    cfg: ArchConfig
+
+    @nn.compact
+    def __call__(self, cell_attr, edge_attr, graph: MeshGraph,
+                 extra=None, train: bool = False):
+        prev_cell, prev_edge = cell_attr, edge_attr
+        if self.cfg.block_order == "cell_first":
+            cell_attr = CellBlock(self.cfg)(cell_attr, edge_attr, graph, extra, train)
+            edge_attr = FaceBlock(self.cfg)(cell_attr, edge_attr, graph, extra, train)
+        else:
+            edge_attr = FaceBlock(self.cfg)(cell_attr, edge_attr, graph, extra, train)
+            cell_attr = CellBlock(self.cfg)(cell_attr, edge_attr, graph, extra, train)
+        return prev_cell + cell_attr, prev_edge + edge_attr
+
+
+class Encoder(nn.Module):
+    """Independent face/cell input MLPs (reference ``Encoder``, Fvgn.py:257-266)."""
+    cfg: ArchConfig
+
+    @nn.compact
+    def __call__(self, cell_x, face_x, train: bool = False):
+        face_attr = MLP(self.cfg.hidden, self.cfg.hidden,
+                        dropout_rate=self.cfg.dropout_rate,
+                        dtype=self.cfg.dtype, name="face_mlp")(face_x, train)
+        cell_attr = MLP(self.cfg.hidden, self.cfg.hidden,
+                        dropout_rate=self.cfg.dropout_rate,
+                        dtype=self.cfg.dtype, name="cell_mlp")(cell_x, train)
+        return cell_attr, face_attr
+
+
+class EncodeProcessDecode(nn.Module):
+    """Encoder -> mp_num GN blocks -> decoder head(s).
+
+    ``face_out``/``cell_out`` of 0 disable that head. The decoder face head is
+    called ``face_mlp`` for checkpoint naming parity with the reference decoder
+    (Fvgn.py:327-333)."""
+    cfg: ArchConfig
+    face_out: int = 0
+    cell_out: int = 0
+
+    @nn.compact
+    def __call__(self, cell_x, face_x, graph: MeshGraph, train: bool = False):
+        cell_attr, edge_attr = Encoder(self.cfg)(cell_x, face_x, train)
+
+        if self.cfg.share_blocks:
+            block = GNBlock(self.cfg)
+            for i in range(self.cfg.mp_num):
+                extra = None
+                if self.cfg.step_scalar:
+                    extra = jnp.array([(i + 1) / self.cfg.mp_num],
+                                      dtype=cell_attr.dtype)[None, :]
+                cell_attr, edge_attr = block(cell_attr, edge_attr, graph,
+                                             extra, train)
+        else:
+            for _ in range(self.cfg.mp_num):
+                cell_attr, edge_attr = GNBlock(self.cfg)(
+                    cell_attr, edge_attr, graph, None, train)
+
+        face_out = cell_out = None
+        if self.face_out:
+            face_out = MLP(self.cfg.hidden, self.face_out, layer_norm=False,
+                           dropout_rate=self.cfg.dropout_rate,
+                           dtype=self.cfg.dtype,
+                           name="decoder_face")(edge_attr, train)
+        if self.cell_out:
+            cell_out = MLP(self.cfg.hidden, self.cell_out, layer_norm=False,
+                           dropout_rate=self.cfg.dropout_rate,
+                           dtype=self.cfg.dtype,
+                           name="decoder_cell")(cell_attr, train)
+        return cell_out, face_out
+
+
+# -----------------------------------------------------------------------------
+# Geometric batch norms + integrators
+# -----------------------------------------------------------------------------
+
+class MaskedBatchNorm(nn.Module):
+    """1-channel batch norm over valid elements only — the counterpart of the
+    reference's ``torch.nn.BatchNorm1d(1)`` inside integrators
+    (``normalisation.py:325-365``), with padding masked out of the batch
+    statistics. momentum 0.9 matches torch's default 0.1 update rate."""
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool):
+        bn = nn.BatchNorm(use_running_average=not train,
+                          momentum=self.momentum, epsilon=self.epsilon,
+                          axis_name=None)
+        m = mask.reshape(-1, 1) if mask is not None else None
+        return bn(x, mask=m)
+
+
+def _vol_dt_coeff(graph: MeshGraph) -> jax.Array:
+    """mean(dt) / mean-adjacent-cell-volume per face (reference
+    ``normalize_vol_dt`` core, normalisation.py:346-365)."""
+    vol = graph.cell_volume.reshape(-1)
+    v_avg = 0.5 * (vol[graph.cell_edge_index[0]] + vol[graph.cell_edge_index[1]])
+    # padded faces point at padded cells with zero volume; clamp so no inf/nan
+    # can enter downstream gathers (valid faces are unaffected)
+    v_avg = jnp.maximum(v_avg, 1e-12)
+    return (jnp.mean(graph.dt) / v_avg).reshape(-1, 1)
+
+
+class FaceAreaNorm(nn.Module):
+    """BatchNorm'd face_area * dt / V̄ scaling (reference
+    ``normalize_face_area``, normalisation.py:325-344)."""
+    @nn.compact
+    def __call__(self, graph: MeshGraph, train: bool):
+        scaled = graph.face_area.reshape(-1, 1) * _vol_dt_coeff(graph)
+        return MaskedBatchNorm()(scaled, graph.face_mask, train)
+
+
+class VolDtNorm(nn.Module):
+    """BatchNorm'd dt / V̄ (reference ``normalize_vol_dt``)."""
+    @nn.compact
+    def __call__(self, graph: MeshGraph, train: bool):
+        return MaskedBatchNorm()(_vol_dt_coeff(graph), graph.face_mask, train)
+
+
+def _gather3(x: jax.Array, face_index: jax.Array) -> jax.Array:
+    """x: (F, D) -> (C, 3, D) gathered by each cell's 3 faces."""
+    return x[face_index.T]
+
+
+class FvgnIntegrator(nn.Module):
+    """Normalized-space momentum flux balance (reference ``FvgnA.Integrator``,
+    Fvgn.py:214-255): acc = -Phi_A - Phi_P/rho + Phi_D with BatchNorm'd
+    area*dt/V̄ face weights. ``edge_output`` = [u_f, v_f, p_f, D_x, D_y].
+
+    Also returns the normalized face area for reuse by the continuity loss
+    (reference re-applies the same BatchNorm in ``FvgnA.loss``, Fvgn.py:180)."""
+    rho: float = 1.0
+
+    @nn.compact
+    def __call__(self, edge_output, graph: MeshGraph, train: bool):
+        face_area = FaceAreaNorm(name="face_area_norm")(graph, train)
+        unv = graph.cell_normal                               # (C, 3, 2)
+        uv = edge_output[:, :2]
+        p = edge_output[:, 2:3]
+        flux_d = edge_output[:, 3:]
+
+        uu_vu = jnp.concatenate([uv[:, 0:1] * uv, uv[:, 1:2] * uv], axis=-1)  # (F,4)
+        e = _gather3(face_area, graph.face_index)             # (C, 3, 1)
+        # advective: per local face, chain_flux_dot([uu,uv,vu,vv], n) * area
+        uu = _gather3(uu_vu, graph.face_index)                # (C, 3, 4)
+        a = jnp.einsum("cfkd,cfd->cfk", uu.reshape(-1, 3, 2, 2), unv)  # (C,3,2)
+        phi_a = jnp.sum(a * e, axis=1)                        # (C, 2)
+
+        d = _gather3(flux_d, graph.face_index)                # (C, 3, 2)
+        phi_d = jnp.sum(d, axis=1)
+
+        pf = _gather3(p, graph.face_index)                    # (C, 3, 1)
+        phi_p = jnp.sum(pf * unv * e, axis=1)                 # (C, 2)
+
+        acc = -phi_a - phi_p / self.rho + phi_d
+        acc = jnp.where(graph.cell_mask[:, None], acc, 0.0)
+        return acc, {"norm_face_area": face_area}
+
+
+class PhysicalIntegrator(nn.Module):
+    """Real-space integrator (reference ``FvgnB.Integrator``, Fvgn.py:425-460):
+    true dt/V scaling, viscous term from the MLS face velocity gradient.
+    ``edge_output`` = [u_f, v_f, p_f] in physical units."""
+    rho: float = 1.0
+    nu: float = 1e-3
+
+    @nn.compact
+    def __call__(self, edge_output, graph: MeshGraph, train: bool):
+        from gnn_fluid_dynamics_tpu.ops.fvm import calc_gradient_tensor
+        unv = graph.cell_normal
+        area = graph.face_area.reshape(-1, 1)
+        uv = edge_output[:, :2]
+        p = edge_output[:, 2:3]
+
+        uu_vu = jnp.concatenate([uv[:, 0:1] * uv, uv[:, 1:2] * uv], axis=-1)
+        e = _gather3(area, graph.face_index)
+        uu = _gather3(uu_vu, graph.face_index).reshape(-1, 3, 2, 2)
+        phi_a = jnp.sum(jnp.einsum("cfkd,cfd->cfk", uu, unv) * e, axis=1)
+
+        grad = calc_gradient_tensor(uv, graph.face_grad_weights,
+                                    graph.face_grad_neighbours)   # (F, 4)
+        g = _gather3(grad, graph.face_index).reshape(-1, 3, 2, 2)
+        phi_d = jnp.sum(jnp.einsum("cfkd,cfd->cfk", g, unv) * e, axis=1)
+
+        pf = _gather3(p, graph.face_index)
+        phi_p = jnp.sum(pf * unv * e, axis=1)
+
+        coeff = jnp.mean(graph.dt) / jnp.maximum(
+            graph.cell_volume.reshape(-1, 1), 1e-12)
+        acc = coeff * (-phi_a - phi_p / self.rho + self.nu * phi_d)
+        acc = jnp.where(graph.cell_mask[:, None], acc, 0.0)
+        return acc, {}
+
+
+class FluxIntegrator(nn.Module):
+    """Flux-based advection (reference ``FluxA.Integrator``, Flux.py:158-206):
+    the advective momentum flux uses the *predicted face flux* converted to
+    signed per-cell flux, with BatchNorm'd dt/V̄ weights; pressure uses
+    BatchNorm'd area weights. ``edge_output`` =
+    [u_f, v_f, p_f, phi_f, D_x, D_y]."""
+    rho: float = 1.0
+
+    @nn.compact
+    def __call__(self, edge_output, graph: MeshGraph, train: bool):
+        from gnn_fluid_dynamics_tpu.ops.fvm import face_flux_to_cell_flux
+        uv = edge_output[:, :2]
+        p = edge_output[:, 2:3]
+        phi = edge_output[:, 3:4]
+        flux_d = edge_output[:, 4:6]
+
+        cell_flux = face_flux_to_cell_flux(phi, graph.face_index,
+                                           graph.cell_face_sign)   # (C, 3, 1)
+        n = VolDtNorm(name="vol_dt_norm")(graph, train)             # (F, 1)
+        nf = _gather3(n, graph.face_index)                          # (C, 3, 1)
+        uvf = _gather3(uv, graph.face_index)                        # (C, 3, 2)
+        phi_a = jnp.sum(uvf * cell_flux * nf, axis=1)               # (C, 2)
+
+        df = _gather3(flux_d, graph.face_index)
+        phi_d = jnp.sum(df, axis=1)
+
+        face_area = FaceAreaNorm(name="face_area_norm")(graph, train)
+        e = _gather3(face_area, graph.face_index)
+        pf = _gather3(p, graph.face_index)
+        phi_p = jnp.sum(pf * graph.cell_normal * e, axis=1)
+
+        acc = -phi_a - phi_p / self.rho + phi_d
+        acc = jnp.where(graph.cell_mask[:, None], acc, 0.0)
+        return acc, {"norm_face_area": face_area,
+                     "cell_flux": cell_flux[..., 0]}
+
+
+class LearnedScaleDenorm(nn.Module):
+    """Learned per-channel scale/bias output denormalization replacing the
+    z-score inverse (reference ``FvgnJ``, Fvgn.py:1149-1157)."""
+    channels: int
+    init_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.constant(self.init_scale),
+                           (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        return x * scale + bias

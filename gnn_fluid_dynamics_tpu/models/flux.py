@@ -1,0 +1,272 @@
+"""Flux model family (reference ``src/models/Flux.py``) — FVGN variants that
+predict (or derive) the face mass flux phi_f and use it for conservative
+advection.
+
+========  ====================================================================
+FluxA     predicts [u_f, v_f, p_f, phi_f, D_x, D_y]; flux-based integrator;
+          continuity from signed cell flux (Flux.py:28-206)
+FluxB     predicts [u_f, v_f, p_f, D_x, D_y]; phi_f derived = u_f·n·A
+          (Flux.py:209-283)
+FluxC     predicts [p_f, phi_f, D_x, D_y]; u_f from explicit cell->face
+          interpolation inside the integrator (Flux.py:286-456)
+FluxD     FluxA + learned scale denorm + physical dt/V integrator — the model
+          trained by the reference's shipped config (config/train.json:30-33)
+          (Flux.py:459-595)
+========  ====================================================================
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gnn_fluid_dynamics_tpu.graph import MeshGraph
+from gnn_fluid_dynamics_tpu.models import normalizer as norm
+from gnn_fluid_dynamics_tpu.models import transforms as T
+from gnn_fluid_dynamics_tpu.models.arch import (ArchConfig, EncodeProcessDecode,
+                                                FaceAreaNorm, FluxIntegrator,
+                                                FvgnIntegrator,
+                                                LearnedScaleDenorm, _gather3)
+from gnn_fluid_dynamics_tpu.models.fvgn import FvgnA, _f, _z
+from gnn_fluid_dynamics_tpu.models.losses import combined_log_loss, mse_per_element
+from gnn_fluid_dynamics_tpu.ops import fvm
+from gnn_fluid_dynamics_tpu.ops.geometry import cell_to_face
+
+
+class _FluxAModule(nn.Module):
+    cfg: ArchConfig
+    out_size: int = 6
+
+    @nn.compact
+    def __call__(self, cell_x, face_x, graph: MeshGraph, train: bool = False):
+        _, face_out = EncodeProcessDecode(self.cfg, face_out=self.out_size)(
+            cell_x, face_x, graph, train)
+        acc, extras = FluxIntegrator(name="integrator")(face_out, graph, train)
+        return acc, face_out, extras
+
+
+class FluxA(FvgnA):
+    """Joint velocity+flux prediction with flux-based advection
+    (Flux.py:28-206)."""
+
+    name = "FluxA"
+    face_out_size = 6
+    needs_face_flux = True
+
+    def build_module(self):
+        return _FluxAModule(self.arch, out_size=self.face_out_size)
+
+    def normalisation_map(self) -> norm.NormalizationMap:
+        nmap = super().normalisation_map()
+        registry = dict(nmap.registry)
+        registry["face_flux"] = _z("face_y", 3, 4)
+        inputs = nmap.inputs + (_f("face_flux", "face_y", 3, 4),)
+        outputs = nmap.outputs + (_f("face_flux", "face_out", 3, 4),)
+        return norm.NormalizationMap(registry, inputs, outputs)
+
+    # ---- features (Flux.py:60-87): no BC override on face Δv ---------------
+    def transform_features(self, graph, rng, mode="train", noise_std=0.0):
+        cell_velocity = graph.cell_velocity[:, 0]
+        if mode == "train" and rng is not None and noise_std:
+            k_noise, k_flip = jax.random.split(rng)
+            cell_velocity = T.add_noise(k_noise, cell_velocity, noise_std)
+        elif rng is not None:
+            k_flip = rng
+        cell_y = graph.cell_velocity[:, -1] - cell_velocity
+
+        if mode == "train" and rng is not None:
+            graph, _ = T.random_edge_flip(k_flip, graph)
+
+        face_x, bc_mask = T.standard_face_features(
+            graph, cell_velocity, self.config.num_face_types, bc_velocity=None)
+        face_y = jnp.concatenate(
+            [graph.face_velocity[:, -1], graph.face_pressure[:, -1],
+             graph.face_flux[:, -1]], axis=1)
+        feats = {"cell_x": cell_velocity, "cell_y": cell_y,
+                 "face_x": face_x, "face_y": face_y, "face_bc_mask": bc_mask}
+        return graph, feats
+
+    # ---- forward (Flux.py:89-116) ------------------------------------------
+    def forward(self, variables, graph, feats, mode="train", rngs=None):
+        train = mode == "train"
+        nfeats = norm.normalize_inputs(feats, self.nmap, self.stats)
+        (acc, face_out, extras), updates = self._apply(
+            variables, nfeats, graph, train, rngs)
+        bundle = {"cell_out": acc, "face_out": face_out}
+        if mode == "rollout":
+            bundle = norm.normalize_outputs(bundle, self.nmap, self.stats,
+                                            inverse=True)
+        cell_flux = fvm.face_flux_to_cell_flux(
+            bundle["face_out"][:, 3:4], graph.face_index, graph.cell_face_sign)
+        outputs = {
+            "cell_velocity_change": bundle["cell_out"][:, 0:2],
+            "face_velocity": bundle["face_out"][:, 0:2],
+            "face_pressure": bundle["face_out"][:, 2:3],
+            "face_flux": bundle["face_out"][:, 3:4],
+            "cell_flux": cell_flux[..., 0],
+            "_nfeats": nfeats,
+            **{f"_{k}": v for k, v in extras.items()},
+        }
+        return outputs, updates
+
+    # ---- loss (Flux.py:118-156) --------------------------------------------
+    def loss(self, outputs, feats, graph):
+        nfeats = outputs["_nfeats"]
+        cmask, fmask = graph.cell_mask, graph.face_mask
+        div = fvm.divergence_from_cell_flux(outputs["cell_flux"])
+        comps = {
+            "continuity": mse_per_element(div, jnp.zeros_like(div), cmask),
+            "cell_velocity_change": mse_per_element(
+                outputs["cell_velocity_change"], nfeats["cell_y"], cmask),
+            "face_velocity": mse_per_element(
+                outputs["face_velocity"], nfeats["face_y"][:, :2],
+                fmask & ~feats["face_bc_mask"]),
+            "face_flux": mse_per_element(
+                outputs["face_flux"], nfeats["face_y"][:, 3:4], fmask),
+            "face_pressure": mse_per_element(
+                outputs["face_pressure"], nfeats["face_y"][:, 2:3], fmask),
+        }
+        total = combined_log_loss(comps, self.loss_weights)
+        return {"total_log_loss": total,
+                **{f"{k}_loss": v for k, v in comps.items()}}
+
+
+class _FluxBModule(nn.Module):
+    cfg: ArchConfig
+    out_size: int = 5
+
+    @nn.compact
+    def __call__(self, cell_x, face_x, graph: MeshGraph, train: bool = False):
+        _, face_out = EncodeProcessDecode(self.cfg, face_out=self.out_size)(
+            cell_x, face_x, graph, train)
+        acc, extras = FvgnIntegrator(name="integrator")(face_out, graph, train)
+        return acc, face_out, extras
+
+
+class FluxB(FluxA):
+    """Predicts u_f only; phi_f = u_f·n·A derived — in normalized face area
+    during training, physical area in rollout (Flux.py:209-283)."""
+
+    name = "FluxB"
+    face_out_size = 5
+
+    def build_module(self):
+        return _FluxBModule(self.arch, out_size=self.face_out_size)
+
+    def forward(self, variables, graph, feats, mode="train", rngs=None):
+        train = mode == "train"
+        nfeats = norm.normalize_inputs(feats, self.nmap, self.stats)
+        (acc, face_out, extras), updates = self._apply(
+            variables, nfeats, graph, train, rngs)
+        bundle = {"cell_out": acc, "face_out": face_out}
+        if mode == "rollout":
+            bundle = norm.normalize_outputs(bundle, self.nmap, self.stats,
+                                            inverse=True)
+            area = graph.face_area
+        else:
+            area = extras["norm_face_area"]
+        face_flux = fvm.calc_flux_from_uf(bundle["face_out"][:, 0:2],
+                                          graph.face_normal, area)
+        outputs = {
+            "cell_velocity_change": bundle["cell_out"][:, 0:2],
+            "face_velocity": bundle["face_out"][:, 0:2],
+            "face_pressure": bundle["face_out"][:, 2:3],
+            "face_flux": face_flux,
+            "_nfeats": nfeats,
+            **{f"_{k}": v for k, v in extras.items()},
+        }
+        return outputs, updates
+
+    def loss(self, outputs, feats, graph):
+        # continuity = unsigned sum of owner-oriented flux (Flux.py:255-259)
+        nfeats = outputs["_nfeats"]
+        cmask, fmask = graph.cell_mask, graph.face_mask
+        div = fvm.divergence_from_face_flux(outputs["face_flux"],
+                                            graph.face_index)
+        comps = {
+            "continuity": mse_per_element(div, jnp.zeros_like(div), cmask),
+            "cell_velocity_change": mse_per_element(
+                outputs["cell_velocity_change"], nfeats["cell_y"][:, 0:2], cmask),
+            "face_flux": mse_per_element(
+                outputs["face_flux"], nfeats["face_y"][:, 3:4], fmask),
+            "face_pressure": mse_per_element(
+                outputs["face_pressure"], nfeats["face_y"][:, 2:3], fmask),
+        }
+        total = combined_log_loss(comps, self.loss_weights)
+        return {"total_log_loss": total,
+                **{f"{k}_loss": v for k, v in comps.items()}}
+
+
+class _FluxDModule(nn.Module):
+    """EPD -> learned scale denorm -> physical flux integrator
+    (Flux.py:477-515, 557-595)."""
+    cfg: ArchConfig
+    rho: float = 1.0
+    nu: float = 0.001
+
+    @nn.compact
+    def __call__(self, cell_x, face_x, graph: MeshGraph, train: bool = False):
+        _, raw = EncodeProcessDecode(self.cfg, face_out=6)(
+            cell_x, face_x, graph, train)
+        # learned per-channel scales (Flux.py:465-469, init values preserved)
+        u = LearnedScaleDenorm(1, init_scale=0.1, name="velocity_scale_x")(raw[:, 0:1])
+        v = LearnedScaleDenorm(1, init_scale=0.0001, name="velocity_scale_y")(raw[:, 1:2])
+        p = LearnedScaleDenorm(1, init_scale=0.01, name="pressure_scale")(raw[:, 2:3])
+        f = LearnedScaleDenorm(1, init_scale=0.001, name="flux_scale")(raw[:, 3:4])
+        d = LearnedScaleDenorm(2, init_scale=0.01, name="diffusion_scale")(raw[:, 4:6])
+        face_out = jnp.concatenate([u, v, p, f, d], axis=-1)
+
+        # physical integrator (Flux.py:557-595)
+        uv = face_out[:, :2]
+        pf = face_out[:, 2:3]
+        phi = face_out[:, 3:4]
+        flux_d = face_out[:, 4:6]
+        cell_flux = fvm.face_flux_to_cell_flux(phi, graph.face_index,
+                                               graph.cell_face_sign)
+        uvf = _gather3(uv, graph.face_index)
+        phi_a = jnp.sum(uvf * cell_flux, axis=1)
+        phi_d = jnp.sum(_gather3(flux_d, graph.face_index), axis=1)
+        e = _gather3(graph.face_area.reshape(-1, 1), graph.face_index)
+        phi_p = jnp.sum(_gather3(pf, graph.face_index) * graph.cell_normal * e,
+                        axis=1)
+        coeff = jnp.mean(graph.dt) / jnp.maximum(
+            graph.cell_volume.reshape(-1, 1), 1e-12)
+        acc = coeff * (-phi_a - phi_p / self.rho + self.nu * phi_d)
+        acc = jnp.where(graph.cell_mask[:, None], acc, 0.0)
+        return acc, face_out, {}
+
+
+class FluxD(FluxA):
+    """Physical integration with learned (adaptive) denorm — the reference's
+    shipped training target (config/train.json). Outputs are physical;
+    train-mode loss re-normalizes (Flux.py:459-595)."""
+
+    name = "FluxD"
+
+    def build_module(self):
+        return _FluxDModule(self.arch)
+
+    def forward(self, variables, graph, feats, mode="train", rngs=None):
+        train = mode == "train"
+        nfeats = norm.normalize_inputs(feats, self.nmap, self.stats)
+        (acc, face_phys, _), updates = self._apply(
+            variables, nfeats, graph, train, rngs)
+        bundle = {"cell_out": acc, "face_out": face_phys}
+        if mode != "rollout":
+            bundle = norm.normalize_outputs(bundle, self.nmap, self.stats)
+        cell_flux = fvm.face_flux_to_cell_flux(
+            bundle["face_out"][:, 3:4], graph.face_index, graph.cell_face_sign)
+        outputs = {
+            "cell_velocity_change": bundle["cell_out"][:, 0:2],
+            "face_velocity": bundle["face_out"][:, 0:2],
+            "face_pressure": bundle["face_out"][:, 2:3],
+            "face_flux": bundle["face_out"][:, 3:4],
+            "cell_flux": cell_flux[..., 0],
+            "_nfeats": nfeats,
+        }
+        return outputs, updates
+
+    # loss identical in structure to FluxA (Flux.py:517-555)

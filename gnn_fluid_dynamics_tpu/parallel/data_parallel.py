@@ -1,0 +1,106 @@
+"""Data-parallel training over an ICI device mesh.
+
+The reference's DDP path (``src/train.py:398-415``) is declared broken
+(train.py:4). This is the working TPU-native replacement: a 1-D
+``jax.sharding.Mesh`` over the slice, ``shard_map`` with the global batch's
+graphs sharded over the ``data`` axis, per-device forward/backward, and a
+``pmean`` gradient/batch-stats reduction over ICI (the NCCL all-reduce
+counterpart, train.py:55-67). Parameters and optimizer state are replicated;
+identical pmean'd updates keep replicas in sync without any parameter
+broadcast.
+
+Batch layout: each device receives a full *concatenated* batched MeshGraph of
+``global_batch // n_devices`` graphs (all graphs share the padded bucket
+shape), stacked along a leading device axis — so per-device compute is exactly
+the single-chip path with no vmap overhead.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gnn_fluid_dynamics_tpu.graph import MeshGraph, stack_graphs
+
+
+def make_device_mesh(n_devices: Optional[int] = None,
+                     axis_name: str = "data") -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    assert n <= len(devices), (n, len(devices))
+    return Mesh(np.asarray(devices[:n]), (axis_name,))
+
+
+def shard_batch(per_device_graphs: Sequence[MeshGraph], mesh: Mesh) -> MeshGraph:
+    """Stack per-device batched graphs along a leading device axis and place
+    them sharded over the mesh's data axis."""
+    stacked = stack_graphs(list(per_device_graphs))
+    sharding = NamedSharding(mesh, P("data"))
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), stacked)
+
+
+def replicate(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def make_dp_train_step(model, optimizer: optax.GradientTransformation,
+                       mesh: Mesh, noise_std: float = 0.0,
+                       axis_name: str = "data") -> Callable:
+    """Build the jitted data-parallel train step.
+
+    Returns ``step(state, device_graphs, lr) -> (state, losses)`` where
+    ``device_graphs`` is the output of :func:`shard_batch` and ``state`` is a
+    replicated :class:`~gnn_fluid_dynamics_tpu.training.trainer.TrainState`.
+    """
+    from jax.experimental.shard_map import shard_map
+    from gnn_fluid_dynamics_tpu.training.trainer import TrainState, _set_lr
+
+    def loss_fn(params, batch_stats, graph, feats, rng):
+        variables = {"params": params, "batch_stats": batch_stats}
+        outputs, updates = model.forward(variables, graph, feats, mode="train",
+                                         rngs={"dropout": rng})
+        losses = model.loss(outputs, feats, graph)
+        return losses["total_log_loss"], (losses, updates)
+
+    def local_step(state: TrainState, graphs: MeshGraph, lr):
+        # drop the leading (1,) device axis
+        graph = jax.tree.map(lambda x: x[0], graphs)
+        # decorrelate per-device RNG streams
+        rng = jax.random.fold_in(state.rng, jax.lax.axis_index(axis_name))
+        rng, k_feat, k_drop = jax.random.split(rng, 3)
+        tgraph, feats = model.transform_features(graph, k_feat, mode="train",
+                                                 noise_std=noise_std)
+        grads, (losses, updates) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, tgraph, feats, k_drop)
+        # ICI all-reduce: mean of grads/losses/batch-stats across the slice
+        grads = jax.lax.pmean(grads, axis_name)
+        losses = jax.lax.pmean(losses, axis_name)
+        new_bs = updates.get("batch_stats", state.batch_stats)
+        new_bs = jax.lax.pmean(new_bs, axis_name)
+
+        opt_state = _set_lr(state.opt_state, lr)
+        p_updates, opt_state = optimizer.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, p_updates)
+        new_state = TrainState(params=params, batch_stats=new_bs,
+                               opt_state=opt_state, step=state.step + 1,
+                               rng=jax.random.split(state.rng, 2)[0])
+        return new_state, losses
+
+    # spec prefixes: state/lr replicated, graphs sharded on the device axis
+    sharded_fn = shard_map(local_step, mesh=mesh,
+                           in_specs=(P(), P(axis_name), P()),
+                           out_specs=(P(), P()),
+                           check_rep=False)
+    jitted = jax.jit(sharded_fn, donate_argnums=(0,))
+
+    def step_wrapper(state, device_graphs, lr):
+        return jitted(state, device_graphs, jnp.asarray(lr, jnp.float32))
+
+    return step_wrapper

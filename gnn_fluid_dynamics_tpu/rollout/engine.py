@@ -1,0 +1,156 @@
+"""Autoregressive rollout as a single on-device ``lax.scan``.
+
+The reference's rollout (``src/rollout.py:255-385``) is a Python loop that
+re-reads ground truth from h5py every step and runs one forward per iteration —
+host-bound and GPU-idle. Here the whole trajectory's ground truth is preloaded
+into HBM, and the entire rollout (forward -> state derivation -> error
+accumulation -> feature feedback) is one compiled ``lax.scan``; per-step field
+trajectories stream out as stacked scan outputs. This is where the "600-step
+rollout under 1 s" target is won (BASELINE.md).
+
+Error metrics match reference ``_error_accumulate`` (rollout.py:121-148):
+per-graph relative MSE of cell velocity and pressure vs ground truth, plus a
+divergence metric whose form depends on what the model exposes
+(cell_flux -> face_velocity with BC clamp -> cell_velocity via MLS).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from gnn_fluid_dynamics_tpu.graph import MeshGraph
+from gnn_fluid_dynamics_tpu.models.losses import mse_per_graph, rel_mse_per_graph
+from gnn_fluid_dynamics_tpu.models.transforms import interior_face_mask
+from gnn_fluid_dynamics_tpu.ops import fvm
+
+
+@dataclasses.dataclass(frozen=True)
+class RolloutConfig:
+    """Rollout section of the experiment config (reference config.py:92-113)."""
+    num_steps: int = 50
+    compute_error: bool = True
+    save_fields: bool = False      # stream predicted cell fields out of the scan
+    save_frequency: int = 1
+
+
+def _divergence_metric(model, solutions: Dict, feats: Dict,
+                       graph: MeshGraph) -> jax.Array:
+    """Pick the divergence estimate by available outputs
+    (reference rollout.py:133-148). Static dispatch — resolved at trace time."""
+    if "cell_flux" in solutions:
+        div = fvm.divergence_from_cell_flux(solutions["cell_flux"])
+    elif "face_velocity" in solutions:
+        # clamp boundary (INFLOW) faces to the BC targets before measuring
+        bc = ~interior_face_mask(graph.face_type)
+        uf = jnp.where(bc[:, None], feats["face_y"][:, 0:2],
+                       solutions["face_velocity"])
+        div = fvm.divergence_from_uf(uf, graph.cell_normal, graph.face_area,
+                                     graph.face_index)
+    elif ("cell_velocity" in solutions
+          and graph.cell_grad_weights is not None):
+        div = fvm.divergence_from_uc(solutions["cell_velocity"],
+                                     graph.cell_grad_weights,
+                                     graph.cell_grad_neighbours,
+                                     graph.cell_volume)
+    else:
+        div = jnp.zeros_like(graph.cell_volume)
+    return jnp.where(graph.cell_mask[:, None], div, 0.0)
+
+
+def rollout_scan(model, variables: Dict, graph: MeshGraph,
+                 feats0: Dict[str, jax.Array],
+                 gt_cell_velocity: Optional[jax.Array] = None,
+                 gt_cell_pressure: Optional[jax.Array] = None,
+                 config: RolloutConfig = RolloutConfig(),
+                 ) -> Tuple[Dict[str, jax.Array], Dict[str, jax.Array]]:
+    """Run ``config.num_steps`` autoregressive steps.
+
+    Args:
+        model: a FluidModel (static; closed over by the jitted scan).
+        variables: Flax variables (params + batch_stats) — eval mode.
+        graph: the (batched) MeshGraph at t0.
+        feats0: features from ``model.transform_features(..., mode='rollout')``.
+        gt_cell_velocity: (T, C, 2) ground truth aligned so row ``i`` is the
+            target of step ``i`` (i.e. state at t0 + (i+1)*stride); required
+            when ``config.compute_error``.
+        gt_cell_pressure: (T, C, 1) likewise.
+
+    Returns:
+        (errors, fields): errors holds ``velocity_error``/``pressure_error``/
+        ``divergence_error`` arrays of shape (T, num_graphs); fields holds the
+        stacked per-step predicted cell fields when ``save_fields``.
+    """
+    num_graphs = graph.num_graphs
+    compute_error = config.compute_error and gt_cell_velocity is not None
+
+    def step(feats, gt_t):
+        outputs, _ = model.forward(variables, graph, feats, mode="rollout")
+        sol = model.derive_state(outputs, feats, graph)
+
+        ys = {}
+        if compute_error:
+            gv, gp = gt_t
+            ys["velocity_error"] = rel_mse_per_graph(
+                gv, sol["cell_velocity"], graph.cell_mask, graph.cell_batch,
+                num_graphs)
+            ys["pressure_error"] = rel_mse_per_graph(
+                gp, sol["cell_pressure"], graph.cell_mask, graph.cell_batch,
+                num_graphs)
+            div = _divergence_metric(model, sol, feats, graph)
+            ys["divergence_error"] = mse_per_graph(
+                div, jnp.zeros_like(div), graph.cell_mask, graph.cell_batch,
+                num_graphs)
+        if config.save_fields:
+            ys["cell_velocity"] = sol["cell_velocity"]
+            ys["cell_pressure"] = sol["cell_pressure"]
+
+        new_feats = model.update_features(sol, feats, graph)
+        return new_feats, ys
+
+    if compute_error:
+        T = gt_cell_velocity.shape[0]
+        assert T >= config.num_steps, (T, config.num_steps)
+        xs = (gt_cell_velocity[:config.num_steps],
+              gt_cell_pressure[:config.num_steps])
+    else:
+        xs = (jnp.zeros((config.num_steps, 0)), jnp.zeros((config.num_steps, 0)))
+
+    final_feats, ys = jax.lax.scan(step, feats0, xs, length=config.num_steps)
+
+    errors = {k: ys[k] for k in ("velocity_error", "pressure_error",
+                                 "divergence_error") if k in ys}
+    fields = {k: ys[k] for k in ("cell_velocity", "cell_pressure") if k in ys}
+    # always expose the final state so callers (and benchmarks) have a data
+    # dependency on every step even when per-step outputs are disabled —
+    # otherwise XLA dead-code-eliminates the whole scan
+    fields["final_cell_state"] = final_feats.get("cell_x")
+    return errors, fields
+
+
+def error_summary(errors: Dict[str, jax.Array], sim_ids=None) -> Dict[str, Any]:
+    """Scalar stats + per-trajectory evolution arrays
+    (reference ``_error_save``, rollout.py:167-223)."""
+    out_scalar, out_evo = {}, {}
+    for name, arr in errors.items():
+        a = jnp.asarray(arr)                      # (T, B)
+        sim_means = jnp.mean(a, axis=0)           # per-sim mean across time
+        sim_vars = jnp.var(a, axis=1)             # across-sim variance per step
+        out_scalar[name] = {
+            "mean_all": float(jnp.mean(a)),
+            "max_all": float(jnp.max(a)),
+            "variance_mean_all": float(jnp.var(sim_means)),
+            "mean_variance_all": float(jnp.mean(sim_vars)),
+        }
+        evo = {"evo_all": [float(x) for x in jnp.mean(a, axis=1)]}
+        if sim_ids is not None:
+            for i, sid in enumerate(sim_ids):
+                evo[f"evo_{sid}"] = [float(x) for x in a[:, i]]
+        out_evo[name] = evo
+    if "velocity_error" in errors and "pressure_error" in errors:
+        out_scalar["total_mean_error"] = float(
+            jnp.mean(errors["velocity_error"] + errors["pressure_error"]))
+    return out_scalar, out_evo

@@ -1,0 +1,224 @@
+"""Training CLI — the counterpart of reference ``src/train.py main()``
+(train.py:318-470): config load, optional resume, dataset + stats setup, model
+construction, optimizer/scheduler, validator wiring, and the Trainer loop.
+
+Usage::
+
+    python -m gnn_fluid_dynamics_tpu.training.train --config config/train.json
+    python -m gnn_fluid_dynamics_tpu.training.train --config ... --resume latest
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import traceback
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+
+def build_datasets(config, model_cls):
+    """Dataset construction for train + valid splits. ``dataset.module``
+    selects the source: 'synthetic' generates Taylor-Green trajectories
+    in-process; anything else reads the reference-layout HDF5 files
+    (<dpath>/<subset>.h5)."""
+    from gnn_fluid_dynamics_tpu.data.pipeline import MeshDataset, compute_window
+
+    stride, window = compute_window(config.model.timestep_stride,
+                                    config.training.pushforward_factor,
+                                    config.model.bundle_size)
+    r_stride, r_window = compute_window(config.model.timestep_stride, None,
+                                        config.model.bundle_size,
+                                        mode="rollout")
+
+    def load(subset, sim_limit, timestep_range, stride, window, sim_index=None):
+        if config.dataset.module == "synthetic":
+            from gnn_fluid_dynamics_tpu.data.pipeline import Trajectory
+            from gnn_fluid_dynamics_tpu.data.synthetic import (
+                make_geometry, taylor_green_trajectory)
+            n = sim_limit or 2
+            T = (timestep_range[1] if timestep_range else 30) + window + 1
+            trajs = []
+            for i in range(n):
+                geom = make_geometry("structured", nx=10 + i % 3, ny=6,
+                                     jitter=0.15, seed=i)
+                fields = taylor_green_trajectory(geom, num_timesteps=T,
+                                                 dt=0.01)
+                trajs.append(Trajectory(mesh_id=f"mesh_{i}", geom=geom,
+                                        fields=fields))
+        else:
+            from gnn_fluid_dynamics_tpu.data.hdf5 import load_dataset
+            flux_scale = 1.0 / 0.001 if "openfoam" in config.dataset.module.lower() \
+                else 1.0
+            path = os.path.join(config.dataset.dpath, subset + ".h5")
+            trajs = load_dataset(path, sim_limit=sim_limit,
+                                 sim_index=sim_index, flux_scale=flux_scale,
+                                 shuffle=config.dataset.shuffle)
+        return MeshDataset(trajs, stride=stride, data_window=window,
+                           timestep_range=timestep_range,
+                           pad_multiple=config.training.pad_multiple,
+                           with_incidence=config.model.aggregation == "gather")
+
+    train_ds = load(config.training.data_subset,
+                    config.training.data_sim_limit,
+                    config.training.data_timestep_range, stride, window)
+    valid_ds = load(config.rollout.data_subset, config.rollout.data_sim_limit,
+                    config.rollout.data_timestep_range, r_stride, r_window,
+                    sim_index=config.rollout.data_sim_index)
+
+    if model_cls.cell_grad_weights_use:
+        order = config.model.cell_grad_weights_order or 1
+        train_ds.add_grad_weights("cell", order)
+        valid_ds.add_grad_weights("cell", order)
+    if model_cls.face_grad_weights_use:
+        order = config.model.face_grad_weights_order or 1
+        train_ds.add_grad_weights("face", order)
+        valid_ds.add_grad_weights("face", order)
+    return train_ds, valid_ds
+
+
+def compute_stats(config, model, dataset):
+    """Streaming stats accumulation with on-disk cache (reference
+    ``DataSet.read_stats``, DataSet.py:314-337)."""
+    from gnn_fluid_dynamics_tpu.models.normalizer import (StatsAccumulator,
+                                                          load_stats,
+                                                          save_stats)
+    fpath = config.dataset.stats_fpath
+    if fpath and os.path.exists(fpath) and not config.dataset.stats_recompute:
+        cached = load_stats(fpath)
+        needed = {k for k, v in model.nmap.registry.items()
+                  if v.extractor is not None}
+        if needed <= set(cached):
+            print(f"\tstats loaded from {fpath}")
+            return cached
+    acc = StatsAccumulator(model.nmap)
+    for i in range(len(dataset)):
+        graph = dataset.get_item(i)
+        _, feats = model.transform_rollout(graph)
+        acc.update(feats, {"cell_x": graph.cell_mask, "cell_y": graph.cell_mask,
+                           "face_x": graph.face_mask, "face_y": graph.face_mask})
+    stats = acc.finalize()
+    if fpath:
+        os.makedirs(os.path.dirname(os.path.abspath(fpath)), exist_ok=True)
+        save_stats(stats, fpath)
+    return stats
+
+
+def set_noise_std(config, stats):
+    """noise_std = noise_std_norm * mean(|u|) (reference DataSet.py:339-342)."""
+    if config.training.noise_std is None and config.training.noise_std_norm:
+        # abs(): a zero-mean dataset (e.g. Taylor-Green) would otherwise give
+        # a negative std, which torch would reject outright
+        config.training.noise_std = abs(config.training.noise_std_norm
+                                        * stats["cell_velocity_x"]["mean"])
+    print("Noise std set to:", config.training.noise_std)
+
+
+def main(argv: Optional[List[str]] = None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--config", type=str, required=True)
+    parser.add_argument("--debug", action="store_true")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="latest | best | path to a checkpoint dir")
+    parser.add_argument("--ckpt-dir", type=str, default=None)
+    args = parser.parse_args(argv)
+
+    from gnn_fluid_dynamics_tpu.models import get_model_class
+    from gnn_fluid_dynamics_tpu.models.base import ModelConfig
+    from gnn_fluid_dynamics_tpu.training.checkpoint import (Checkpointer,
+                                                            restore_train_state)
+    from gnn_fluid_dynamics_tpu.training.config import (load_config,
+                                                        merge_checkpoint_config)
+    from gnn_fluid_dynamics_tpu.training.logging import Logger
+    from gnn_fluid_dynamics_tpu.training.trainer import Trainer, TrainState
+
+    config = load_config(args.config)
+    if args.debug:
+        config.logging.is_debug = True
+
+    ckpt_dir = args.ckpt_dir or os.path.join(
+        "checkpoints", config.logging.project or "default",
+        config.logging.name or config.model.name)
+    checkpointer = Checkpointer(ckpt_dir,
+                                save_overwrite=config.logging.save_overwrite)
+
+    resume_meta = None
+    if args.resume:
+        _, resume_meta = checkpointer.load(args.resume)
+        if resume_meta is not None:
+            config = merge_checkpoint_config(config, resume_meta["config"])
+            print(f"Resuming from {args.resume} "
+                  f"(mini_epoch {resume_meta['mini_epoch']})")
+
+    np.random.seed(config.settings.random_seed)
+    rng = jax.random.PRNGKey(config.settings.random_seed)
+
+    model_cls = get_model_class(config.model.name)
+    model = model_cls(
+        ModelConfig(name=config.model.name,
+                    hidden_width=config.model.hidden_width,
+                    mp_num=config.model.mp_num,
+                    cell_grad_weights_order=config.model.cell_grad_weights_order,
+                    face_grad_weights_order=config.model.face_grad_weights_order,
+                    timestep_stride=config.model.timestep_stride,
+                    bundle_size=config.model.bundle_size,
+                    aggregation=config.model.aggregation,
+                    dropout_rate=config.training.dropout_rate),
+        loss_weights=config.training.loss_weights)
+
+    train_ds, valid_ds = build_datasets(config, model_cls)
+    print(f"Train dataset: {len(train_ds)} samples over "
+          f"{len(train_ds.trajectories)} meshes "
+          f"(bucket {train_ds.pad_to})")
+
+    stats = resume_meta["stats"] if (resume_meta and "stats" in resume_meta) \
+        else compute_stats(config, model, train_ds)
+    model.set_stats(stats)
+    set_noise_std(config, stats)
+
+    logger = None
+    if not config.logging.is_debug:
+        logger = Logger(config)
+        logger.set_norm_stats(stats)
+
+    trainer = Trainer(config, model, logger=logger, checkpointer=checkpointer)
+    graph0 = train_ds.get_batch(train_ds.sample_map[:config.training.batch_size])
+    _, feats0 = model.transform_rollout(graph0)
+    state = trainer.init_state(rng, graph0, feats0)
+    print(f"Model {config.model.name}: "
+          f"{model.count_parameters({'params': state.params}):,} parameters")
+
+    if resume_meta is not None:
+        tree, _ = checkpointer.load(args.resume, template={
+            "params": state.params, "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state, "step": state.step, "rng": state.rng})
+        state = restore_train_state(tree, TrainState)
+        trainer.mini_epoch_count = resume_meta["mini_epoch"]
+        trainer.epoch_count = resume_meta["epoch"]
+        trainer.step_count = resume_meta["step"]
+        trainer.sample_count = resume_meta["sample_count"]
+
+    num_valid_steps = max(
+        1, (valid_ds.timestep_range[1] - valid_ds.timestep_range[0] - 1)
+        // valid_ds.stride)
+    state = trainer.run(state, train_ds, valid_ds,
+                        num_valid_steps=num_valid_steps)
+    if logger:
+        logger.close()
+    return state
+
+
+if __name__ == "__main__":
+    try:
+        main()
+    except KeyboardInterrupt:
+        print("\nTraining stopped by keyboard interrupt.")
+        sys.exit(1)
+    except Exception as e:
+        print(f"\nTraining failed: {e}")
+        traceback.print_exc()
+        sys.exit(1)

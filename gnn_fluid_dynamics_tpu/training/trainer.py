@@ -1,0 +1,253 @@
+"""Training runtime: train state, jitted step, mini-epoch loop, validation.
+
+Functional re-design of the reference ``Trainer`` (``src/train.py:112-313``):
+the epoch/mini-epoch cadence, loss bookkeeping, grad clipping, pushforward
+unrolling, periodic rollout validation, and checkpoint hooks are preserved, but
+the hot path (feature transform -> forward -> loss -> grad -> clip -> update)
+is one donated jit; the learning rate enters as a traced scalar from the
+host-side schedule so schedule changes never recompile.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from gnn_fluid_dynamics_tpu.data.pipeline import (MeshDataset, rollout_batch,
+                                                  train_batches)
+from gnn_fluid_dynamics_tpu.graph import MeshGraph
+from gnn_fluid_dynamics_tpu.rollout.engine import (RolloutConfig, error_summary,
+                                                   rollout_scan)
+from gnn_fluid_dynamics_tpu.training.config import Config
+from gnn_fluid_dynamics_tpu.training.lr_schedule import get_schedule
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    step: jax.Array            # optimizer steps taken
+    rng: jax.Array
+
+    @property
+    def variables(self):
+        v = {"params": self.params}
+        if self.batch_stats:
+            v["batch_stats"] = self.batch_stats
+        return v
+
+
+def select_optimizer(cfg) -> optax.GradientTransformation:
+    """Adam / AdamW by name (reference ``select_optimizer``, train.py:70-95),
+    with the reference's grad clipping folded in (train.py:267-269)."""
+    t = cfg.training
+    if t.optimizer_name == "Adam":
+        opt = optax.inject_hyperparams(optax.adam)(learning_rate=t.lr_max)
+    elif t.optimizer_name == "AdamW":
+        opt = optax.inject_hyperparams(optax.adamw)(learning_rate=t.lr_max)
+    else:
+        raise ValueError(f"Optimizer {t.optimizer_name} not recognised")
+    if t.clip_grad_norm:
+        return optax.chain(optax.clip_by_global_norm(t.clip_grad_norm), opt)
+    return opt
+
+
+def _set_lr(opt_state, lr):
+    """Poke the injected learning rate (the torch ``param_group['lr']``
+    equivalent). Works for both plain and chained optimizers."""
+    def visit(s):
+        if hasattr(s, "hyperparams") and "learning_rate" in s.hyperparams:
+            return s._replace(hyperparams={**s.hyperparams,
+                                           "learning_rate": lr})
+        if isinstance(s, tuple) and not hasattr(s, "hyperparams"):
+            return tuple(visit(x) for x in s)
+        return s
+    return visit(opt_state)
+
+
+class Trainer:
+    """Epoch / mini-epoch training loop (reference train.py:159-243)."""
+
+    def __init__(self, config: Config, model, optimizer=None, logger=None,
+                 validator: Optional[Callable] = None,
+                 checkpointer=None, monitor=None):
+        self.config = config
+        self.model = model
+        self.optimizer = optimizer or select_optimizer(config)
+        self.logger = logger
+        self.validator = validator
+        self.checkpointer = checkpointer
+        self.monitor = monitor
+        self.mini_epoch_count = 0
+        self.epoch_count = 0
+        self.step_count = 0
+        self.sample_count = 0
+        self._train_step_fn = None
+        self._pf_rollout_fn = None
+
+    # ---- state --------------------------------------------------------------
+    def init_state(self, rng: jax.Array, graph: MeshGraph, feats: Dict
+                   ) -> TrainState:
+        variables = self.model.init(rng, graph, feats)
+        params = variables["params"]
+        return TrainState(
+            params=params,
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=self.optimizer.init(params),
+            step=jnp.zeros((), jnp.int32),
+            rng=rng)
+
+    # ---- jitted step ---------------------------------------------------------
+    def _build_train_step(self):
+        model = self.model
+        optimizer = self.optimizer
+        noise_std = float(self.config.training.noise_std or 0.0)
+        pf = int(self.config.training.pushforward_factor or 0)
+        use_pf = pf > 0 and model.pushforward_use
+
+        def loss_fn(params, batch_stats, graph, feats, rng):
+            variables = {"params": params, "batch_stats": batch_stats}
+            outputs, updates = model.forward(variables, graph, feats,
+                                             mode="train",
+                                             rngs={"dropout": rng})
+            losses = model.loss(outputs, feats, graph)
+            return losses["total_log_loss"], (losses, updates)
+
+        def step(state: TrainState, graph: MeshGraph, lr):
+            rng, k_feat, k_drop = jax.random.split(state.rng, 3)
+            tgraph, feats = model.transform_features(
+                graph, k_feat, mode="train", noise_std=noise_std)
+            if use_pf:
+                # pushforward: unroll no-grad rollout steps, then retarget
+                # (reference train.py:247-252)
+                variables = {"params": state.params,
+                             "batch_stats": state.batch_stats}
+                for _ in range(pf):
+                    outputs, _ = model.forward(
+                        jax.lax.stop_gradient(variables), tgraph, feats,
+                        mode="rollout")
+                    sol = model.derive_state(outputs, feats, tgraph)
+                    sol = jax.lax.stop_gradient(sol)
+                    feats = model.update_features(sol, feats, tgraph)
+                feats = dict(feats)
+                feats["cell_y"] = (feats["cell_y"].at[:, 0:2].set(
+                    feats["cell_y"][:, 0:2] - feats["cell_x"][:, 0:2]))
+
+            grads, (losses, updates) = jax.grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, tgraph, feats, k_drop)
+            opt_state = _set_lr(state.opt_state, lr)
+            p_updates, opt_state = optimizer.update(grads, opt_state,
+                                                    state.params)
+            params = optax.apply_updates(state.params, p_updates)
+            new_state = TrainState(
+                params=params,
+                batch_stats=updates.get("batch_stats", state.batch_stats),
+                opt_state=opt_state,
+                step=state.step + 1,
+                rng=rng)
+            return new_state, losses
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def train_step(self, state: TrainState, graph: MeshGraph, lr: float):
+        if self._train_step_fn is None:
+            self._train_step_fn = self._build_train_step()
+        return self._train_step_fn(state, graph, jnp.asarray(lr, jnp.float32))
+
+    # ---- loop ---------------------------------------------------------------
+    def run(self, state: TrainState, train_dataset: MeshDataset,
+            valid_dataset: Optional[MeshDataset] = None,
+            num_valid_steps: int = 50) -> TrainState:
+        cfg = self.config
+        t = cfg.training
+        total_mini_epochs = max(
+            1, (t.epochs * len(train_dataset)) // t.mini_epoch_size)
+        schedule = get_schedule(t.lr_class, t, total_mini_epochs)
+        steps_per_mini_epoch = max(t.mini_epoch_size // t.batch_size, 1)
+        np_rng = np.random.default_rng(cfg.settings.random_seed)
+
+        # pre-training validation (reference train.py:169-171)
+        if valid_dataset is not None:
+            vl = self.validate(state, valid_dataset, num_valid_steps)
+            self._log(vl, prefix="valid")
+
+        mini_losses: Dict[str, float] = {}
+        me_start = time.time()
+        for _ in range(t.epochs - self.epoch_count):
+            self.epoch_count += 1
+            for samples in train_batches(train_dataset, t.batch_size, np_rng):
+                graph = train_dataset.get_batch(samples)
+                self.step_count += 1
+                self.sample_count += len(samples)
+                lr = schedule(self.mini_epoch_count)
+                state, losses = self.train_step(state, graph, lr)
+                for k, v in losses.items():
+                    mini_losses[k] = mini_losses.get(k, 0.0) + float(v)
+
+                if self.step_count % steps_per_mini_epoch == 0:
+                    self.mini_epoch_count += 1
+                    me_time = time.time() - me_start
+                    for k in mini_losses:
+                        mini_losses[k] /= steps_per_mini_epoch
+                    self._log(mini_losses, prefix="train")
+                    self._log({"train_step_time": me_time / steps_per_mini_epoch,
+                               "mini_epoch_train_time": me_time},
+                              prefix="performance")
+                    print(f"\ttrain | e {self.epoch_count:>3} | me "
+                          f"{self.mini_epoch_count:>5} | s {self.step_count:>6}"
+                          f" | t {me_time:<3.2e} | loss "
+                          f"{mini_losses.get('total_log_loss', float('nan')):>3.2e}"
+                          f" | lr {lr:>3.2e}")
+
+                    if (valid_dataset is not None and cfg.logging.valid_frequency
+                            and self.mini_epoch_count % cfg.logging.valid_frequency == 0):
+                        vl = self.validate(state, valid_dataset, num_valid_steps)
+                        self._log(vl, prefix="valid")
+
+                    if (self.checkpointer is not None and cfg.logging.save_frequency
+                            and self.mini_epoch_count % cfg.logging.save_frequency == 0):
+                        self.checkpointer.save(
+                            state, self, mini_losses)
+
+                    self._log({"learning_rate": lr,
+                               "sample_count": self.sample_count}, prefix="train")
+                    mini_losses = {}
+                    me_start = time.time()
+        return state
+
+    # ---- validation (reference train.py:286-303) ----------------------------
+    def validate(self, state: TrainState, valid_dataset: MeshDataset,
+                 num_steps: int) -> Dict[str, float]:
+        t0 = time.time()
+        samples = rollout_batch(valid_dataset)
+        graph = valid_dataset.get_batch(samples)
+        _, feats = self.model.transform_rollout(graph)
+        gt_v, gt_p = valid_dataset.trajectory_targets(
+            [m for m, _ in samples], samples[0][1], num_steps)
+        errors, _ = rollout_scan(
+            self.model, state.variables, graph, feats, gt_v, gt_p,
+            RolloutConfig(num_steps=num_steps))
+        scalars, _evo = error_summary(errors, valid_dataset.sim_ids())
+        err = scalars["total_mean_error"]
+        print(f"\tvalid | e {self.epoch_count:>3} | me "
+              f"{self.mini_epoch_count:>5} | s {self.step_count:>6} | t "
+              f"{time.time() - t0:<3.2e} | error {err:>3.2e}")
+        flat = {"total_mean_error": err}
+        for name, st in scalars.items():
+            if isinstance(st, dict):
+                for k, v in st.items():
+                    flat[f"{name}/{k}"] = v
+        return flat
+
+    def _log(self, values: Dict[str, float], prefix: str):
+        if self.logger is not None:
+            self.logger.save_loss(values, step=self.mini_epoch_count,
+                                  prefix=prefix)

@@ -4,7 +4,7 @@ analogue of a fake NCCL backend)."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force CPU even when axon/TPU is present
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,6 +12,15 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
+
+# persistent compilation cache makes repeated test runs fast
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# a sitecustomize may force jax_platforms to the TPU backend, overriding the
+# env var — force CPU again at config level
+jax.config.update("jax_platforms", "cpu")
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,147 @@
+"""Model forward/loss smoke + invariance tests on a tiny synthetic mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gnn_fluid_dynamics_tpu.data.synthetic import (make_geometry,
+                                                   taylor_green_trajectory)
+from gnn_fluid_dynamics_tpu.graph import batch_graphs, from_geometry
+from gnn_fluid_dynamics_tpu.models import get_model_class
+from gnn_fluid_dynamics_tpu.models.base import ModelConfig
+from gnn_fluid_dynamics_tpu.models.normalizer import StatsAccumulator
+from gnn_fluid_dynamics_tpu.ops.mls import compute_mls_weights
+
+
+LOSS_WEIGHTS = {"continuity": 0.1, "cell_velocity_change": 10,
+                "cell_velocity": 10, "cell_pressure": 1, "face_velocity": 1,
+                "face_flux": 1, "face_pressure": 1}
+
+
+def build_graph(pad=True, grad_weights=False, incidence=False):
+    geom = make_geometry("structured", nx=6, ny=4)
+    fields = dict(taylor_green_trajectory(geom, num_timesteps=3, dt=0.01))
+    if grad_weights:
+        nb, w = compute_mls_weights(geom["cell_pos"], 1)
+        fields["cell_grad_weights"] = w
+        fields["cell_grad_neighbours"] = nb
+        nbf, wf = compute_mls_weights(geom["face_pos"], 1)
+        fields["face_grad_weights"] = wf
+        fields["face_grad_neighbours"] = nbf
+    return from_geometry(geom, fields, dt=0.01, pad_multiple=32 if pad else 0,
+                         with_incidence=incidence)
+
+
+def make_model(name, graph, **kw):
+    cls = get_model_class(name)
+    cfg = ModelConfig(name=name, hidden_width=32, mp_num=2, **kw)
+    model = cls(cfg, loss_weights=LOSS_WEIGHTS)
+    # gather stats from the single sample
+    _, feats = model.transform_features(graph, None, mode="rollout")
+    acc = StatsAccumulator(model.nmap)
+    acc.update(feats, {"cell_x": graph.cell_mask, "cell_y": graph.cell_mask,
+                       "face_x": graph.face_mask, "face_y": graph.face_mask})
+    model.set_stats(acc.finalize())
+    return model
+
+
+@pytest.mark.parametrize("name", ["FvgnA", "FvgnB", "FvgnF", "FvgnJ",
+                                  "MgnA", "MgnB", "MgnC",
+                                  "FluxA", "FluxB", "FluxD"])
+def test_forward_loss_finite(name):
+    graph = build_graph(grad_weights=(name in ("FvgnB", "MgnB", "MgnC")))
+    model = make_model(name, graph)
+    rng = jax.random.PRNGKey(0)
+    tgraph, feats = model.transform_features(graph, rng, mode="train",
+                                             noise_std=0.01)
+    variables = model.init(jax.random.PRNGKey(1), tgraph, feats)
+    outputs, updates = model.forward(variables, tgraph, feats, mode="train")
+    losses = model.loss(outputs, feats, tgraph)
+    assert jnp.isfinite(losses["total_log_loss"]), losses
+    for k, v in losses.items():
+        assert jnp.isfinite(v), (k, v)
+    # rollout path
+    outputs_r, _ = model.forward(variables, graph, feats, mode="rollout")
+    sol = model.derive_state(outputs_r, feats, graph)
+    assert sol["cell_velocity"].shape == (graph.num_cells, 2)
+    assert sol["cell_pressure"].shape == (graph.num_cells, 1)
+    assert jnp.all(jnp.isfinite(sol["cell_velocity"]))
+    new_feats = model.update_features(sol, feats, graph)
+    assert new_feats["face_x"].shape == feats["face_x"].shape
+
+
+def test_forward_jit_and_batch():
+    graph = build_graph()
+    model = make_model("FvgnA", graph)
+    _, feats = model.transform_features(graph, None, mode="rollout")
+    variables = model.init(jax.random.PRNGKey(1), graph, feats)
+
+    fwd = jax.jit(lambda v, g, f: model.forward(v, g, f, mode="rollout")[0]
+                  ["cell_velocity_change"])
+    single = fwd(variables, graph, feats)
+
+    gb = batch_graphs([graph, graph])
+    _, fb = model.transform_features(gb, None, mode="rollout")
+    double = fwd(variables, gb, fb)
+    C = graph.num_cells
+    # batching two copies must reproduce the single-graph result exactly
+    np.testing.assert_allclose(np.asarray(double[:C]), np.asarray(single),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(double[C:]), np.asarray(single),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_padding_invariance():
+    """Predictions on valid elements must not depend on padding amount."""
+    geom = make_geometry("structured", nx=6, ny=4)
+    fields = taylor_green_trajectory(geom, num_timesteps=3, dt=0.01)
+    g1 = from_geometry(geom, fields, dt=0.01)
+    g2 = from_geometry(geom, fields, dt=0.01, pad_multiple=64)
+    model = make_model("FvgnA", g1)
+    _, f1 = model.transform_features(g1, None, mode="rollout")
+    _, f2 = model.transform_features(g2, None, mode="rollout")
+    variables = model.init(jax.random.PRNGKey(1), g1, f1)
+    o1, _ = model.forward(variables, g1, f1, mode="rollout")
+    o2, _ = model.forward(variables, g2, f2, mode="rollout")
+    C = g1.num_cells
+    np.testing.assert_allclose(np.asarray(o2["cell_velocity_change"][:C]),
+                               np.asarray(o1["cell_velocity_change"]),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_gather_vs_segment_aggregation():
+    """The incidence-gather layout must agree with scatter-add exactly."""
+    graph = build_graph(incidence=True)
+    model_seg = make_model("FvgnA", graph)
+    _, feats = model_seg.transform_features(graph, None, mode="rollout")
+    variables = model_seg.init(jax.random.PRNGKey(1), graph, feats)
+    o_seg, _ = model_seg.forward(variables, graph, feats, mode="rollout")
+
+    model_gat = make_model("FvgnA", graph, aggregation="gather")
+    o_gat, _ = model_gat.forward(variables, graph, feats, mode="rollout")
+    # fp32 summation order differs between the two layouts; bound the drift
+    np.testing.assert_allclose(np.asarray(o_gat["cell_velocity_change"]),
+                               np.asarray(o_seg["cell_velocity_change"]),
+                               rtol=5e-3, atol=5e-4)
+
+
+def test_masked_loss_ignores_padding():
+    """Corrupting padded rows must not change any loss component."""
+    graph = build_graph()
+    model = make_model("FvgnA", graph)
+    rng = jax.random.PRNGKey(0)
+    tgraph, feats = model.transform_features(graph, rng, "train", 0.0)
+    variables = model.init(jax.random.PRNGKey(1), tgraph, feats)
+    outputs, _ = model.forward(variables, tgraph, feats, mode="train")
+    base = model.loss(outputs, feats, tgraph)
+
+    bad = dict(outputs)
+    pad_c = ~np.asarray(tgraph.cell_mask)
+    corrupt = jnp.where(jnp.asarray(pad_c)[:, None], 1e6,
+                        outputs["cell_velocity_change"])
+    bad["cell_velocity_change"] = corrupt
+    after = model.loss(bad, feats, tgraph)
+    np.testing.assert_allclose(float(after["cell_velocity_change_loss"]),
+                               float(base["cell_velocity_change_loss"]),
+                               rtol=1e-6)

@@ -1,0 +1,118 @@
+"""Training runtime tests: jitted step reduces loss, schedules match reference
+shapes, config round-trips."""
+
+import jax
+import numpy as np
+import pytest
+
+from gnn_fluid_dynamics_tpu.data.pipeline import (MeshDataset, Trajectory,
+                                                  compute_window,
+                                                  train_batches)
+from gnn_fluid_dynamics_tpu.data.synthetic import (make_geometry,
+                                                   taylor_green_trajectory)
+from gnn_fluid_dynamics_tpu.models import get_model_class
+from gnn_fluid_dynamics_tpu.models.base import ModelConfig
+from gnn_fluid_dynamics_tpu.models.normalizer import StatsAccumulator
+from gnn_fluid_dynamics_tpu.training.config import Config
+from gnn_fluid_dynamics_tpu.training.lr_schedule import get_schedule
+from gnn_fluid_dynamics_tpu.training.trainer import Trainer
+
+
+def make_dataset(T=8):
+    trajs = []
+    for i in range(2):
+        geom = make_geometry("structured", nx=6, ny=4)
+        fields = taylor_green_trajectory(geom, num_timesteps=T, dt=0.01)
+        trajs.append(Trajectory(mesh_id=f"mesh_{i}", geom=geom, fields=fields))
+    return MeshDataset(trajs, stride=1, data_window=2, pad_multiple=32)
+
+
+def test_compute_window():
+    # reference DataSet.py:71-89 precedence
+    assert compute_window(1, None, None) == (1, 2)
+    assert compute_window(3, None, None) == (3, 4)
+    assert compute_window(2, 2, None) == (1, 4)          # pushforward wins
+    assert compute_window(1, None, 4) == (1, 5)          # bundling window
+    assert compute_window(1, None, 4, mode="rollout") == (4, 5)
+
+
+def test_train_step_reduces_loss():
+    ds = make_dataset()
+    cfg = Config()
+    cfg.training.batch_size = 2
+    cfg.training.noise_std = 0.0
+    cfg.training.lr_max = 1e-3
+    model_cls = get_model_class("FvgnA")
+    model = model_cls(ModelConfig(hidden_width=16, mp_num=1),
+                      loss_weights=cfg.training.loss_weights)
+    g = ds.get_batch(ds.sample_map[:2])
+    _, feats = model.transform_features(g, None, mode="rollout")
+    acc = StatsAccumulator(model.nmap)
+    acc.update(feats, {"cell_x": g.cell_mask, "cell_y": g.cell_mask,
+                       "face_x": g.face_mask, "face_y": g.face_mask})
+    model.set_stats(acc.finalize())
+
+    trainer = Trainer(cfg, model)
+    state = trainer.init_state(jax.random.PRNGKey(0), g, feats)
+
+    losses = []
+    for i in range(12):
+        state, l = trainer.train_step(state, g, 1e-3)
+        losses.append(float(l["total_log_loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+
+
+def test_schedule_shapes():
+    class C:
+        lr_max = 1e-3
+        lr_min = 1e-6
+        lr_wu = 0.02
+        lr_wu_gamma = 0.04
+        lr_ms1 = 0.3
+        lr_ms1_gamma = 0.5
+        lr_ms2 = 0.6
+        lr_ms2_gamma = 0.1
+        lr_ms3 = 0.98
+
+    total = 1000
+    for name in ("StepThenDecay", "OneCycle", "CosineAnnealing",
+                 "ExponentialDecay", "CosineAnnealingTwoPhase"):
+        sched = get_schedule(name, C, total)
+        lrs = [sched(t) for t in range(total)]
+        assert all(np.isfinite(lrs)), name
+        assert all(lr >= 0 for lr in lrs), name
+
+    # two-phase shape: warmup rises, hold flat at max, then decays to min
+    sched = get_schedule("CosineAnnealingTwoPhase", C, total)
+    assert sched(0) < sched(10) <= sched(19) <= sched(25) + 1e-12
+    assert abs(sched(100) - C.lr_max) < 1e-12        # hold phase
+    assert abs(sched(999) - C.lr_min) < 1e-9         # final constant
+    # first cosine ends at ms2_gamma * max
+    assert abs(sched(599) - C.lr_ms2_gamma * C.lr_max) < 2e-5
+
+
+def test_config_roundtrip(tmp_path):
+    cfg = Config()
+    cfg.training.batch_size = 7
+    p = tmp_path / "c.json"
+    cfg.save(str(p))
+    from gnn_fluid_dynamics_tpu.training.config import load_config
+    cfg2 = load_config(str(p))
+    assert cfg2.training.batch_size == 7
+    flat = cfg2.to_flat_dict()
+    assert flat["training.batch_size"] == 7
+    with pytest.raises(ValueError):
+        Config.from_dict({"bogus_section": {}})
+    with pytest.raises(ValueError):
+        Config.from_dict({"training": {"bogus_key": 1}})
+
+
+def test_train_batches_cover_dataset():
+    ds = make_dataset()
+    rng = np.random.default_rng(0)
+    seen = set()
+    for batch in train_batches(ds, 2, rng):
+        assert len(batch) == 2
+        seen.update(batch)
+    assert len(seen) >= len(ds) - 2  # drop-last may skip at most batch-1
