@@ -62,8 +62,8 @@ def main():
     graph = ds.get_batch(rollout_batch(ds))
     _, feats = model.transform_rollout(graph)
     acc = StatsAccumulator(model.nmap)
-    acc.update(feats, {"cell_x": graph.cell_mask, "cell_y": graph.cell_mask,
-                       "face_x": graph.face_mask, "face_y": graph.face_mask})
+    from gnn_fluid_dynamics_tpu.models.base import feature_masks
+    acc.update(feats, feature_masks(graph, feats))
     model.set_stats(acc.finalize())
     variables = model.init(jax.random.PRNGKey(0), graph, feats)
 

@@ -1,0 +1,93 @@
+"""Batch sampling strategies (reference ``src/utils/sampler.py``).
+
+The TPU pipeline's batches are lists of (mesh_id, timestep) samples fed to
+``MeshDataset.get_batch``; these functions generate the orders:
+
+* :func:`rollout_order` — timestep-major so batch *b* holds all trajectories
+  at step *b* (reference ``RolloutSampler``, sampler.py:5-46);
+* :func:`multi_mesh_batches` — random batches mixing meshes (reference
+  ``MultiMeshBatchSampler``, sampler.py:49-90);
+* :func:`chunked_batches` — visits a small window of meshes at a time so the
+  per-(mesh-tuple) static-graph cache is reused across consecutive batches
+  (reference ``ChunkedBatchSampler``'s mesh-cache reuse, sampler.py:92-179 —
+  here the payoff is jit/static-batch-cache hits instead of h5py handle
+  locality);
+* :func:`per_mesh_batches` — every batch drawn from a single mesh (reference
+  ``PerMeshBatchSampler``, sampler.py:183-230).
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from typing import Iterator, List, Sequence, Tuple
+
+import numpy as np
+
+Sample = Tuple[str, int]
+
+
+def rollout_order(dataset) -> List[List[Sample]]:
+    """Timestep-major batches: one batch per timestep holding every
+    trajectory at that step."""
+    start, end = dataset.timestep_range
+    return [[(m, ts) for m in dataset.sim_ids()]
+            for ts in range(start, end, dataset.stride)]
+
+
+def multi_mesh_batches(dataset, batch_size: int,
+                       rng: np.random.Generator,
+                       drop_last: bool = True) -> Iterator[List[Sample]]:
+    order = rng.permutation(len(dataset))
+    n = len(order) - (batch_size - 1 if drop_last else 0)
+    for i in range(0, max(n, 0), batch_size):
+        idxs = order[i:i + batch_size]
+        if drop_last and len(idxs) < batch_size:
+            break
+        yield [dataset.sample_map[j] for j in idxs]
+
+
+def chunked_batches(dataset, batch_size: int, rng: np.random.Generator,
+                    chunk_meshes: int = 4) -> Iterator[List[Sample]]:
+    """Group samples by mesh, then iterate chunks of ``chunk_meshes`` meshes,
+    drawing random batches only from the active chunk until exhausted."""
+    by_mesh = defaultdict(list)
+    for sample in dataset.sample_map:
+        by_mesh[sample[0]].append(sample)
+    mesh_ids = list(by_mesh)
+    rng.shuffle(mesh_ids)
+    for i in range(0, len(mesh_ids), chunk_meshes):
+        pool = [s for m in mesh_ids[i:i + chunk_meshes] for s in by_mesh[m]]
+        order = rng.permutation(len(pool))
+        for j in range(0, len(order) - batch_size + 1, batch_size):
+            yield [pool[k] for k in order[j:j + batch_size]]
+
+
+def per_mesh_batches(dataset, batch_size: int,
+                     rng: np.random.Generator) -> Iterator[List[Sample]]:
+    """Each batch holds samples from exactly one mesh."""
+    by_mesh = defaultdict(list)
+    for sample in dataset.sample_map:
+        by_mesh[sample[0]].append(sample)
+    mesh_ids = list(by_mesh)
+    rng.shuffle(mesh_ids)
+    for mesh in mesh_ids:
+        pool = by_mesh[mesh]
+        order = rng.permutation(len(pool))
+        for j in range(0, len(order) - batch_size + 1, batch_size):
+            yield [pool[k] for k in order[j:j + batch_size]]
+
+
+SAMPLERS = {
+    "multi_mesh": multi_mesh_batches,
+    "chunked": chunked_batches,
+    "per_mesh": per_mesh_batches,
+}
+
+
+def get_sampler(name: str):
+    """(reference ``get_sampler``, sampler.py:233-247)"""
+    try:
+        return SAMPLERS[name]
+    except KeyError:
+        raise KeyError(f"unknown sampler {name!r}; available: "
+                       f"{sorted(SAMPLERS)}") from None

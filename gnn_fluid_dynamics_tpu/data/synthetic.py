@@ -110,9 +110,52 @@ def cylinder_channel_mesh(n_points: int = 1200,
                  | (interior[:, 1] < 0.5 * h) | (interior[:, 1] > ly - 0.5 * h))
     interior = interior[~inside_obstacle & ~near_edge]
 
-    pos = np.concatenate([edge_pts, ring, interior])
-    # dedupe near-coincident points
+    # thin interior points that crowd the boundary/ring/each other —
+    # near-coincident points create sliver triangles that wreck solver
+    # stability and FVM accuracy
+    from scipy.spatial import cKDTree
+    fixed = np.concatenate([edge_pts, ring])
+    tree = cKDTree(fixed)
+    d_fixed, _ = tree.query(interior)
+    interior = interior[d_fixed > 0.45 * h]
+    keep = np.ones(len(interior), bool)
+    itree = cKDTree(interior)
+    for i, j in sorted(itree.query_pairs(0.5 * h)):
+        if keep[i] and keep[j]:
+            keep[j] = False
+    interior = interior[keep]
+    pos = np.concatenate([fixed, interior])
     pos = np.unique(np.round(pos / 1e-9) * 1e-9, axis=0)
+
+    # Laplacian/Lloyd smoothing of interior points: a few rounds of moving
+    # each free vertex to the mean of its Delaunay neighbours removes sliver
+    # triangles (critical for FVM solver stability on these meshes)
+    n_fixed = 0  # recompute which points are fixed after dedupe
+    ftree = cKDTree(fixed)
+    dfix, _ = ftree.query(pos)
+    free = dfix > 1e-9
+    inside_hole = (((pos[:, 0] - cx) / rx) ** 2
+                   + ((pos[:, 1] - cy) / ry) ** 2) < 1.0
+    free &= ~inside_hole
+    for _ in range(6):
+        tri = Delaunay(pos)
+        neigh_sum = np.zeros_like(pos)
+        neigh_cnt = np.zeros(pos.shape[0])
+        for a, b in ((0, 1), (1, 2), (2, 0)):
+            np.add.at(neigh_sum, tri.simplices[:, a], pos[tri.simplices[:, b]])
+            np.add.at(neigh_cnt, tri.simplices[:, a], 1)
+            np.add.at(neigh_sum, tri.simplices[:, b], pos[tri.simplices[:, a]])
+            np.add.at(neigh_cnt, tri.simplices[:, b], 1)
+        target = neigh_sum / np.maximum(neigh_cnt, 1)[:, None]
+        pos = np.where(free[:, None], 0.7 * pos + 0.3 * target, pos)
+        # keep smoothed points out of the obstacle
+        r2 = ((pos[:, 0] - cx) / (rx * 1.05)) ** 2 \
+            + ((pos[:, 1] - cy) / (ry * 1.05)) ** 2
+        bad = free & (r2 < 1.0)
+        if bad.any():
+            scale = np.sqrt(1.0 / np.maximum(r2[bad], 1e-12)) * 1.05
+            pos[bad, 0] = cx + (pos[bad, 0] - cx) * scale
+            pos[bad, 1] = cy + (pos[bad, 1] - cy) * scale
 
     tri = Delaunay(pos)
     cells = tri.simplices

@@ -88,6 +88,31 @@ class AntisymMLP(nn.Module):
         return x
 
 
+def aggregate_faces_to_cells(edge_attr: jax.Array, graph: MeshGraph,
+                             antisym: bool) -> jax.Array:
+    """Direct face->cell two-way aggregation (the Conservative family's
+    Cell_Block scatter, reference ``Conservative.py:243-254, 636-652``),
+    expressed as a static gather over each cell's 3 faces.
+
+    The reference scatters ``[e, -e]`` (antisym) or ``[e, e]`` (symm) onto
+    ``[col, row]``; with the precomputed ``cell_face_sign`` table the per-slot
+    weight is known statically:
+
+    * antisym: +1 where the cell is the neighbour, -1 where owner (=-sign),
+      and 0 on boundary self-loops (the +e/-e pair cancels);
+    * symm: 1 everywhere, 2 on boundary self-loops (the cell receives both
+      copies).
+    """
+    gface = graph.face_index.T                              # (C, 3)
+    e = edge_attr[gface]                                    # (C, 3, H)
+    boundary = graph.face_boundary_mask[gface]              # (C, 3)
+    if antisym:
+        w = jnp.where(boundary, 0.0, -graph.cell_face_sign)
+    else:
+        w = jnp.where(boundary, 2.0, 1.0)
+    return jnp.sum(e * w[..., None], axis=1)
+
+
 def aggregate_twice_mp(edge_attr: jax.Array, graph: MeshGraph,
                        aggregation: str) -> jax.Array:
     """The reference's 'twice message passing': chunk edge latents into

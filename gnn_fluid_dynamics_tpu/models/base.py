@@ -95,13 +95,19 @@ class FluidModel:
         raise NotImplementedError
 
     # ---- forward ------------------------------------------------------------
+    def module_inputs(self, nfeats: Dict) -> tuple:
+        """Which bundle tensors feed the Flax module (overridden by families
+        with split symmetric/antisymmetric edge features)."""
+        return (nfeats["cell_x"], nfeats["face_x"])
+
     def init(self, rng: jax.Array, graph: MeshGraph, feats: Dict) -> Dict:
         # jitted: eager per-op dispatch is very slow over a remote TPU tunnel
         if getattr(self, "_init_jit", None) is None:
             def _init(rng, graph, feats):
                 nfeats = norm.normalize_inputs(feats, self.nmap, self.stats)
-                return self.module.init({"params": rng}, nfeats["cell_x"],
-                                        nfeats["face_x"], graph, False)
+                return self.module.init({"params": rng},
+                                        *self.module_inputs(nfeats),
+                                        graph, False)
             self._init_jit = jax.jit(_init)
         return self._init_jit(rng, graph, feats)
 
@@ -127,14 +133,14 @@ class FluidModel:
         raise NotImplementedError
 
     def _apply(self, variables, nfeats, graph, train, rngs):
+        inputs = self.module_inputs(nfeats)
         if train:
             result, updates = self.module.apply(
-                variables, nfeats["cell_x"], nfeats["face_x"], graph, True,
+                variables, *inputs, graph, True,
                 rngs=rngs, mutable=["batch_stats"])
             return result, dict(updates)
-        result = self.module.apply(
-            variables, nfeats["cell_x"], nfeats["face_x"], graph, False,
-            rngs=rngs, mutable=False)
+        result = self.module.apply(variables, *inputs, graph, False,
+                                   rngs=rngs, mutable=False)
         return result, {}
 
     # ---- loss ---------------------------------------------------------------
@@ -181,3 +187,14 @@ class FluidModel:
 
 def masked(mask_a, mask_b=None):
     return mask_a if mask_b is None else (mask_a & mask_b)
+
+
+def feature_masks(graph: MeshGraph, feats: Dict) -> Dict:
+    """Validity masks per bundle tensor, for stats accumulation."""
+    out = {}
+    for key in feats:
+        if key.startswith("cell"):
+            out[key] = graph.cell_mask
+        elif key.startswith("face"):
+            out[key] = graph.face_mask
+    return out

@@ -200,6 +200,109 @@ class FluxB(FluxA):
                 **{f"{k}_loss": v for k, v in comps.items()}}
 
 
+class _FluxCModule(nn.Module):
+    """[p, phi, Dx, Dy] head; u_f explicit by cell->face interpolation of the
+    (normalized) cell velocity inside the integrator (Flux.py:382-421)."""
+    cfg: ArchConfig
+
+    @nn.compact
+    def __call__(self, cell_x, face_x, graph: MeshGraph, train: bool = False):
+        _, face_out = EncodeProcessDecode(self.cfg, face_out=4)(
+            cell_x, face_x, graph, train)
+        uv_face = cell_to_face(cell_x[:, 0:2], graph.cell_edge_index,
+                               graph.face_pos, graph.cell_pos)
+        p = face_out[:, 0:1]
+        phi = face_out[:, 1:2]
+        flux_d = face_out[:, 2:4]
+        # unsigned advective term u_f * phi_f per local face (Flux.py:400-403)
+        uvf = _gather3(uv_face, graph.face_index)
+        phif = _gather3(phi, graph.face_index)
+        phi_a = jnp.sum(uvf * phif, axis=1)
+        phi_dd = jnp.sum(_gather3(flux_d, graph.face_index), axis=1)
+        face_area = FaceAreaNorm(name="face_area_norm")(graph, train)
+        e = _gather3(face_area, graph.face_index)
+        phi_p = jnp.sum(_gather3(p, graph.face_index) * graph.cell_normal * e,
+                        axis=1)
+        acc = -phi_a - phi_p + phi_dd
+        acc = jnp.where(graph.cell_mask[:, None], acc, 0.0)
+        return acc, face_out, {"norm_face_area": face_area}
+
+
+class FluxC(FluxA):
+    """Predicts only [p_f, phi_f, D]; u_f explicit (Flux.py:286-456)."""
+
+    name = "FluxC"
+    face_out_size = 4
+
+    def build_module(self):
+        return _FluxCModule(self.arch)
+
+    def normalisation_map(self) -> norm.NormalizationMap:
+        base = FvgnA.normalisation_map(self)
+        registry = dict(base.registry)
+        for k in ("face_velocity_x", "face_velocity_y"):
+            del registry[k]
+        registry["face_pressure"] = _z("face_y", 0, 1)
+        registry["face_flux"] = _z("face_y", 1, 2)
+        inputs = tuple(f for f in base.inputs
+                       if f.name not in ("face_velocity_x", "face_velocity_y",
+                                         "face_pressure")) + (
+            _f("face_pressure", "face_y", 0, 1),
+            _f("face_flux", "face_y", 1, 2),
+        )
+        outputs = (
+            _f("cell_velocity_change_x", "cell_out", 0, 1),
+            _f("cell_velocity_change_y", "cell_out", 1, 2),
+            _f("face_pressure", "face_out", 0, 1),
+            _f("face_flux", "face_out", 1, 2),
+        )
+        return norm.NormalizationMap(registry, inputs, outputs)
+
+    def transform_features(self, graph, rng, mode="train", noise_std=0.0):
+        # face targets [p, phi] only (Flux.py:322)
+        graph, feats = super().transform_features(graph, rng, mode, noise_std)
+        feats["face_y"] = jnp.concatenate(
+            [graph.face_pressure[:, -1], graph.face_flux[:, -1]], axis=1)
+        return graph, feats
+
+    def forward(self, variables, graph, feats, mode="train", rngs=None):
+        train = mode == "train"
+        nfeats = norm.normalize_inputs(feats, self.nmap, self.stats)
+        (acc, face_out, extras), updates = self._apply(
+            variables, nfeats, graph, train, rngs)
+        bundle = {"cell_out": acc, "face_out": face_out}
+        if mode == "rollout":
+            bundle = norm.normalize_outputs(bundle, self.nmap, self.stats,
+                                            inverse=True)
+        outputs = {
+            "cell_velocity_change": bundle["cell_out"][:, 0:2],
+            "face_pressure": bundle["face_out"][:, 0:1],
+            "face_flux": bundle["face_out"][:, 1:2],
+            "_nfeats": nfeats,
+            **{f"_{k}": v for k, v in extras.items()},
+        }
+        return outputs, updates
+
+    def loss(self, outputs, feats, graph):
+        # (Flux.py:423-456): continuity from the unsigned face-flux sum
+        nfeats = outputs["_nfeats"]
+        cmask, fmask = graph.cell_mask, graph.face_mask
+        div = fvm.divergence_from_face_flux(outputs["face_flux"],
+                                            graph.face_index)
+        comps = {
+            "continuity": mse_per_element(div, jnp.zeros_like(div), cmask),
+            "cell_velocity_change": mse_per_element(
+                outputs["cell_velocity_change"], nfeats["cell_y"], cmask),
+            "face_flux": mse_per_element(
+                outputs["face_flux"], nfeats["face_y"][:, 1:2], fmask),
+            "face_pressure": mse_per_element(
+                outputs["face_pressure"], nfeats["face_y"][:, 0:1], fmask),
+        }
+        total = combined_log_loss(comps, self.loss_weights)
+        return {"total_log_loss": total,
+                **{f"{k}_loss": v for k, v in comps.items()}}
+
+
 class _FluxDModule(nn.Module):
     """EPD -> learned scale denorm -> physical flux integrator
     (Flux.py:477-515, 557-595)."""

@@ -152,14 +152,27 @@ class StatsAccumulator:
         if ex is None:
             return None, None
         if ex[0] == "norm":
+            # row-wise L2 norm of a slice (MgnC cell_velocity_char)
             _, tensor, start, stop = ex
             x = bundle[tensor]
             data = jnp.linalg.norm(x[..., start:stop], axis=-1)
+            tensor_key = tensor
+        elif ex[0] == "sqrt":
+            # sqrt of a field (FvgnE characteristic_length = sqrt(volume))
+            _, tensor, start, stop = ex
+            data = jnp.sqrt(bundle[tensor][..., start:stop])
+            tensor_key = tensor
+        elif ex[0] == "slice0":
+            # first bundled timestep only (FvgnC stats, Fvgn.py:521-523)
+            _, tensor, start, stop = ex
+            data = bundle[tensor][:, 0, start:stop]
+            tensor_key = tensor
         else:
             tensor, start, stop = ex
             x = bundle[tensor]
             data = x[..., start:stop]
-        mask = masks.get(ex[1] if ex[0] == "norm" else ex[0])
+            tensor_key = tensor
+        mask = masks.get(tensor_key)
         return data, mask
 
     def update(self, bundle: Dict[str, jax.Array],

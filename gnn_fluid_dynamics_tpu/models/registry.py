@@ -7,16 +7,33 @@ classes and typos fail loudly.
 
 from __future__ import annotations
 
-from gnn_fluid_dynamics_tpu.models.flux import FluxA, FluxB, FluxD
-from gnn_fluid_dynamics_tpu.models.fvgn import (FvgnA, FvgnB, FvgnD, FvgnF,
-                                                FvgnI, FvgnJ)
+from gnn_fluid_dynamics_tpu.models.conservative import (
+    ConservativeA, ConservativeB, ConservativeD, ConservativeE, ConservativeF,
+    ConservativeG, ConservativeH, ConservativeI, ConservativeJ, ConservativeK)
+from gnn_fluid_dynamics_tpu.models.flux import FluxA, FluxB, FluxC, FluxD
+from gnn_fluid_dynamics_tpu.models.fvgn import (FvgnA, FvgnB, FvgnC, FvgnD,
+                                                FvgnE, FvgnF, FvgnH, FvgnI,
+                                                FvgnJ, FvgnK)
 from gnn_fluid_dynamics_tpu.models.mgn import MgnA, MgnB, MgnC
+from gnn_fluid_dynamics_tpu.models.streamfunc import (StreamFuncA, StreamFuncB,
+                                                      StreamFuncC, StreamFuncD)
+from gnn_fluid_dynamics_tpu.models.vertpot import (VertPotA, VertPotB,
+                                                   VertPotC, VertPotD,
+                                                   VertPotE, VertPotF,
+                                                   VertPotG)
 
 MODEL_REGISTRY = {
     cls.name: cls
-    for cls in (FvgnA, FvgnB, FvgnD, FvgnF, FvgnI, FvgnJ,
+    for cls in (FvgnA, FvgnB, FvgnC, FvgnD, FvgnE, FvgnF, FvgnH, FvgnI,
+                FvgnJ, FvgnK,
                 MgnA, MgnB, MgnC,
-                FluxA, FluxB, FluxD)
+                FluxA, FluxB, FluxC, FluxD,
+                ConservativeA, ConservativeB, ConservativeD, ConservativeE,
+                ConservativeF, ConservativeG, ConservativeH, ConservativeI,
+                ConservativeJ, ConservativeK,
+                VertPotA, VertPotB, VertPotC, VertPotD, VertPotE, VertPotF,
+                VertPotG,
+                StreamFuncA, StreamFuncB, StreamFuncC, StreamFuncD)
 }
 
 

@@ -1,0 +1,359 @@
+"""Vertex-potential model family (reference ``src/models/VertPot.py``).
+
+An extra Vertex block accumulates edge latents at mesh vertices; a vertex
+decoder emits a scalar potential whose differences around each triangle give
+per-cell face fluxes that are *exactly divergence-free by construction*
+(``calc_cell_flux_from_vertices``, VertPot.py:25-40 — telescoping sum).
+
+========  ====================================================================
+VertPotA  [u,v,p,Dx,Dy] face head + potential flux; flux-advection integrator
+          with BatchNorm'd dt/V̄; no flux loss (VertPot.py:47-231)
+VertPotB  physical integrator + MLS viscous term (VertPot.py:234-319)
+VertPotC  [p,Dx,Dy] head, u_f explicit cell->face interpolation
+          (VertPot.py:322-444)
+VertPotD  A + owner-converted face flux appended to the FluxA integrator path
+          (VertPot.py:447-492)
+VertPotE  FluxC wiring with VertPot blocks (VertPot.py:494-539)
+VertPotF  physical integration of the potential flux (VertPot.py:541-628)
+VertPotG  loss on face flux converted from cell flux (VertPot.py:631-818)
+========  ====================================================================
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from gnn_fluid_dynamics_tpu.graph import MeshGraph
+from gnn_fluid_dynamics_tpu.models import normalizer as norm
+from gnn_fluid_dynamics_tpu.models.arch import (MLP, ArchConfig, CellBlock,
+                                                Encoder, FaceAreaNorm,
+                                                FaceBlock, VolDtNorm, _gather3)
+from gnn_fluid_dynamics_tpu.models.flux import FluxA
+from gnn_fluid_dynamics_tpu.models.fvgn import _f, _z
+from gnn_fluid_dynamics_tpu.models.losses import combined_log_loss, mse_per_element
+from gnn_fluid_dynamics_tpu.ops import fvm
+from gnn_fluid_dynamics_tpu.ops.geometry import cell_to_face
+from gnn_fluid_dynamics_tpu.ops.segment import aggregate_edges_to_vertices_sum
+
+
+def calc_cell_flux_from_vertices(vertex_out: jax.Array,
+                                 graph: MeshGraph) -> jax.Array:
+    """Per-cell fluxes = potential differences around the triangle
+    (reference VertPot.py:25-40): [psi(v1)-psi(v2), psi(v2)-psi(v0),
+    psi(v0)-psi(v1)] — sums to zero per cell exactly. -> (C, 3)."""
+    psi = vertex_out.reshape(-1)
+    v = psi[graph.vertex_face]                   # (3, C)
+    return jnp.stack([v[1] - v[2], v[2] - v[0], v[0] - v[1]], axis=1)
+
+
+class _VertPotModule(nn.Module):
+    """FvgnA blocks + vertex accumulation + dual decoder + selectable
+    integrator."""
+    cfg: ArchConfig
+    face_out: int = 5
+    integrator: str = "flux_norm"   # flux_norm | physical | fluxC | none
+
+    @nn.compact
+    def __call__(self, cell_x, face_x, graph: MeshGraph, train: bool = False):
+        cell_attr, edge_attr = Encoder(self.cfg)(cell_x, face_x, train)
+        vertex_attr = None
+        for _ in range(self.cfg.mp_num):
+            prev_c, prev_e = cell_attr, edge_attr
+            cell_attr = CellBlock(self.cfg)(cell_attr, edge_attr, graph,
+                                            None, train)
+            edge_attr = FaceBlock(self.cfg)(cell_attr, edge_attr, graph,
+                                            None, train)
+            cell_attr = prev_c + cell_attr
+            edge_attr = prev_e + edge_attr
+            # Vertex block: un-residualed full-edge sum at the vertices
+            # (VertPot.py:203-222)
+            vertex_attr = aggregate_edges_to_vertices_sum(edge_attr, graph)
+
+        face_out = MLP(self.cfg.hidden, self.face_out, layer_norm=False,
+                       dropout_rate=self.cfg.dropout_rate,
+                       name="decoder_face")(edge_attr, train)
+        vertex_out = MLP(self.cfg.hidden, 1, layer_norm=False,
+                         dropout_rate=self.cfg.dropout_rate,
+                         name="decoder_vertex")(vertex_attr, train)
+        vertex_out = jnp.where(graph.vertex_mask[:, None], vertex_out, 0.0)
+        cell_flux = calc_cell_flux_from_vertices(vertex_out, graph)  # (C, 3)
+
+        extras = {}
+        if self.integrator == "flux_norm":
+            # VertPotA.Integrator (VertPot.py:103-150)
+            n = VolDtNorm(name="vol_dt_norm")(graph, train)
+            nf = _gather3(n, graph.face_index)
+            uvf = _gather3(face_out[:, 0:2], graph.face_index)
+            phi_a = jnp.sum(uvf * cell_flux[..., None] * nf, axis=1)
+            phi_d = jnp.sum(_gather3(face_out[:, 3:5], graph.face_index), axis=1)
+            area = FaceAreaNorm(name="face_area_norm")(graph, train)
+            e = _gather3(area, graph.face_index)
+            pf = _gather3(face_out[:, 2:3], graph.face_index)
+            phi_p = jnp.sum(pf * graph.cell_normal * e, axis=1)
+            acc = -phi_a - phi_p + phi_d
+            extras["norm_face_area"] = area
+        elif self.integrator == "fluxC":
+            # VertPotC.Integrator: explicit u_f, [p, Dx, Dy] head
+            # (VertPot.py:368-409)
+            uv_face = cell_to_face(cell_x[:, 0:2], graph.cell_edge_index,
+                                   graph.face_pos, graph.cell_pos)
+            uvf = _gather3(uv_face, graph.face_index)
+            phi_a = jnp.sum(uvf * cell_flux[..., None], axis=1)
+            phi_d = jnp.sum(_gather3(face_out[:, 1:3], graph.face_index), axis=1)
+            area = FaceAreaNorm(name="face_area_norm")(graph, train)
+            e = _gather3(area, graph.face_index)
+            pf = _gather3(face_out[:, 0:1], graph.face_index)
+            phi_p = jnp.sum(pf * graph.cell_normal * e, axis=1)
+            acc = -phi_a - phi_p + phi_d
+            extras["norm_face_area"] = area
+        elif self.integrator == "physical":
+            # VertPotB.Integrator (VertPot.py:283-319)
+            area3 = _gather3(graph.face_area.reshape(-1, 1), graph.face_index)
+            uvf = _gather3(face_out[:, 0:2], graph.face_index)
+            phi_a = jnp.sum(uvf * cell_flux[..., None], axis=1)
+            grad = fvm.calc_gradient_tensor(face_out[:, 0:2],
+                                            graph.face_grad_weights,
+                                            graph.face_grad_neighbours)
+            g = _gather3(grad, graph.face_index).reshape(-1, 3, 2, 2)
+            phi_d = jnp.sum(jnp.einsum("cfkd,cfd->cfk", g, graph.cell_normal)
+                            * area3, axis=1)
+            pf = _gather3(face_out[:, 2:3], graph.face_index)
+            phi_p = jnp.sum(pf * graph.cell_normal * area3, axis=1)
+            coeff = jnp.mean(graph.dt) / jnp.maximum(
+                graph.cell_volume.reshape(-1, 1), 1e-12)
+            acc = coeff * (-phi_a - phi_p + 1e-3 * phi_d)
+        else:
+            acc = jnp.zeros((cell_x.shape[0], 2), cell_x.dtype)
+        acc = jnp.where(graph.cell_mask[:, None], acc, 0.0)
+        return acc, face_out, cell_flux, extras
+
+
+class VertPotA(FluxA):
+    """Potential flux, flux-advection integrator, no flux loss
+    (VertPot.py:47-231)."""
+
+    name = "VertPotA"
+    face_out_size = 5
+    integrator_kind = "flux_norm"
+
+    def build_module(self):
+        return _VertPotModule(self.arch, face_out=self.face_out_size,
+                              integrator=self.integrator_kind)
+
+    def normalisation_map(self) -> norm.NormalizationMap:
+        nmap = super().normalisation_map()
+        # cell_out = [acc(2) | cell_flux(3)]; flux columns share face_flux
+        # stats (VertPot.py:64-72)
+        outputs = tuple(f for f in nmap.outputs if f.name != "face_flux") + (
+            _f("cell_flux", "cell_out", 2, 5, "face_flux"),)
+        return nmap.replace(outputs=outputs)
+
+    def forward(self, variables, graph, feats, mode="train", rngs=None):
+        train = mode == "train"
+        nfeats = norm.normalize_inputs(feats, self.nmap, self.stats)
+        (acc, face_out, cell_flux, extras), updates = self._apply(
+            variables, nfeats, graph, train, rngs)
+        bundle = {"cell_out": jnp.concatenate([acc, cell_flux], axis=1),
+                  "face_out": face_out}
+        if mode == "rollout":
+            bundle = norm.normalize_outputs(bundle, self.nmap, self.stats,
+                                            inverse=True)
+        outputs = {
+            "cell_velocity_change": bundle["cell_out"][:, 0:2],
+            "cell_flux": bundle["cell_out"][:, 2:5],
+            "face_velocity": bundle["face_out"][:, 0:2],
+            "face_pressure": bundle["face_out"][:, 2:3],
+            "_nfeats": nfeats,
+            **{f"_{k}": v for k, v in extras.items()},
+        }
+        return outputs, updates
+
+    def loss(self, outputs, feats, graph):
+        # (VertPot.py:152-185) — note: NO interior mask on face velocity
+        nfeats = outputs["_nfeats"]
+        cmask, fmask = graph.cell_mask, graph.face_mask
+        div = fvm.divergence_from_cell_flux(outputs["cell_flux"])
+        comps = {
+            "continuity": mse_per_element(div, jnp.zeros_like(div), cmask),
+            "cell_velocity_change": mse_per_element(
+                outputs["cell_velocity_change"], nfeats["cell_y"], cmask),
+            "face_velocity": mse_per_element(
+                outputs["face_velocity"], nfeats["face_y"][:, 0:2], fmask),
+            "face_pressure": mse_per_element(
+                outputs["face_pressure"], nfeats["face_y"][:, 2:3], fmask),
+        }
+        total = combined_log_loss(comps, self.loss_weights)
+        return {"total_log_loss": total,
+                **{f"{k}_loss": v for k, v in comps.items()}}
+
+
+class VertPotB(VertPotA):
+    """Physical integration + MLS viscous term (VertPot.py:234-319)."""
+
+    name = "VertPotB"
+    face_out_size = 3
+    integrator_kind = "physical"
+    face_grad_weights_use = True
+
+    def forward(self, variables, graph, feats, mode="train", rngs=None):
+        # the physical integrator consumes denormalized quantities; train-mode
+        # acc is re-normalized for the loss while cell_flux stays in network
+        # space (VertPot.py:248-281)
+        train = mode == "train"
+        nfeats = norm.normalize_inputs(feats, self.nmap, self.stats)
+        (acc, face_out, cell_flux, _), updates = self._apply(
+            variables, nfeats, graph, train, rngs)
+        if mode == "rollout":
+            bundle = norm.normalize_outputs(
+                {"cell_out": jnp.concatenate([acc, cell_flux], axis=1),
+                 "face_out": face_out}, self.nmap, self.stats, inverse=True)
+        else:
+            nb = norm.normalize_outputs(
+                {"cell_out": jnp.concatenate(
+                    [acc, jnp.zeros_like(cell_flux)], axis=1),
+                 "face_out": None}, self.nmap, self.stats)
+            bundle = {"cell_out": nb["cell_out"].at[:, 2:5].set(cell_flux),
+                      "face_out": face_out}
+        outputs = {
+            "cell_velocity_change": bundle["cell_out"][:, 0:2],
+            "cell_flux": bundle["cell_out"][:, 2:5],
+            "face_velocity": bundle["face_out"][:, 0:2],
+            "face_pressure": bundle["face_out"][:, 2:3],
+            "_nfeats": nfeats,
+        }
+        return outputs, updates
+
+
+class VertPotC(VertPotA):
+    """[p, Dx, Dy] head; u_f explicit by cell->face interpolation
+    (VertPot.py:322-444)."""
+
+    name = "VertPotC"
+    face_out_size = 3
+    integrator_kind = "fluxC"
+
+    def normalisation_map(self) -> norm.NormalizationMap:
+        # face head is [p, Dx, Dy]; y = [u, v, p, phi] unchanged; outputs map
+        # p from face_out col 0 (VertPot.py / Flux.py:286-354 FluxC map)
+        nmap = FluxA.normalisation_map(self)
+        outputs = (
+            _f("cell_velocity_change_x", "cell_out", 0, 1),
+            _f("cell_velocity_change_y", "cell_out", 1, 2),
+            _f("cell_flux", "cell_out", 2, 5, "face_flux"),
+            _f("face_pressure", "face_out", 0, 1),
+        )
+        return nmap.replace(outputs=outputs)
+
+    def forward(self, variables, graph, feats, mode="train", rngs=None):
+        train = mode == "train"
+        nfeats = norm.normalize_inputs(feats, self.nmap, self.stats)
+        (acc, face_out, cell_flux, extras), updates = self._apply(
+            variables, nfeats, graph, train, rngs)
+        bundle = {"cell_out": jnp.concatenate([acc, cell_flux], axis=1),
+                  "face_out": face_out}
+        if mode == "rollout":
+            bundle = norm.normalize_outputs(bundle, self.nmap, self.stats,
+                                            inverse=True)
+        outputs = {
+            "cell_velocity_change": bundle["cell_out"][:, 0:2],
+            "cell_flux": bundle["cell_out"][:, 2:5],
+            "face_pressure": bundle["face_out"][:, 0:1],
+            "_nfeats": nfeats,
+            **{f"_{k}": v for k, v in extras.items()},
+        }
+        return outputs, updates
+
+    def loss(self, outputs, feats, graph):
+        # (VertPot.py:411-444)
+        nfeats = outputs["_nfeats"]
+        cmask, fmask = graph.cell_mask, graph.face_mask
+        div = fvm.divergence_from_cell_flux(outputs["cell_flux"])
+        comps = {
+            "continuity": mse_per_element(div, jnp.zeros_like(div), cmask),
+            "cell_velocity_change": mse_per_element(
+                outputs["cell_velocity_change"], nfeats["cell_y"], cmask),
+            "face_pressure": mse_per_element(
+                outputs["face_pressure"], nfeats["face_y"][:, 2:3], fmask),
+        }
+        total = combined_log_loss(comps, self.loss_weights)
+        return {"total_log_loss": total,
+                **{f"{k}_loss": v for k, v in comps.items()}}
+
+
+class VertPotD(VertPotA):
+    """A + owner-converted face flux into the FluxA loss path
+    (VertPot.py:447-492; the reference calls a nonexistent
+    ``convert_cell_flux_to_face_flux_alt`` — the owner-slot conversion is used
+    here)."""
+
+    name = "VertPotD"
+
+    def forward(self, variables, graph, feats, mode="train", rngs=None):
+        outputs, updates = super().forward(variables, graph, feats, mode, rngs)
+        face_flux = fvm.cell_flux_to_face_flux(
+            outputs["cell_flux"], graph.cell_edge_index,
+            graph.owner_local_slot)
+        outputs["face_flux"] = face_flux
+        return outputs, updates
+
+    def loss(self, outputs, feats, graph):
+        losses = super().loss(outputs, feats, graph)
+        fmask = graph.face_mask
+        nfeats = outputs["_nfeats"]
+        flux_loss = mse_per_element(outputs["face_flux"],
+                                    nfeats["face_y"][:, 3:4], fmask)
+        w = self.loss_weights.get("face_flux", 0.0)
+        losses["face_flux_loss"] = flux_loss
+        losses["total_log_loss"] = jnp.log(
+            jnp.exp(losses["total_log_loss"]) + w * flux_loss)
+        return losses
+
+
+class VertPotE(VertPotC):
+    """FluxC wiring with VertPot blocks (VertPot.py:494-539)."""
+    name = "VertPotE"
+
+
+class VertPotF(VertPotA):
+    """Physical integration of the potential flux (VertPot.py:541-628)."""
+    name = "VertPotF"
+    face_out_size = 3
+    integrator_kind = "physical"
+    face_grad_weights_use = True
+
+
+class VertPotG(VertPotA):
+    """Loss on face flux converted from cell flux (VertPot.py:631-818)."""
+
+    name = "VertPotG"
+
+    def forward(self, variables, graph, feats, mode="train", rngs=None):
+        outputs, updates = super().forward(variables, graph, feats, mode, rngs)
+        outputs["face_flux"] = fvm.cell_flux_to_face_flux(
+            outputs["cell_flux"], graph.cell_edge_index,
+            graph.owner_local_slot)
+        return outputs, updates
+
+    def loss(self, outputs, feats, graph):
+        # (VertPot.py:738-772): continuity from the unsigned face-flux sum
+        nfeats = outputs["_nfeats"]
+        cmask, fmask = graph.cell_mask, graph.face_mask
+        div = fvm.divergence_from_face_flux(outputs["face_flux"],
+                                            graph.face_index)
+        comps = {
+            "continuity": mse_per_element(div, jnp.zeros_like(div), cmask),
+            "cell_velocity_change": mse_per_element(
+                outputs["cell_velocity_change"], nfeats["cell_y"], cmask),
+            "face_velocity": mse_per_element(
+                outputs["face_velocity"], nfeats["face_y"][:, 0:2], fmask),
+            "face_pressure": mse_per_element(
+                outputs["face_pressure"], nfeats["face_y"][:, 2:3], fmask),
+            "face_flux": mse_per_element(
+                outputs["face_flux"], nfeats["face_y"][:, 3:4], fmask),
+        }
+        total = combined_log_loss(comps, self.loss_weights)
+        losses = {f"{k}_loss": v for k, v in comps.items()}
+        losses.pop("face_flux_loss", None)   # reference omits it from the dict
+        return {"total_log_loss": total, **losses}

@@ -111,6 +111,21 @@ def aggregate_edges_to_vertices_gather(
     return jnp.sum(sel, axis=1)
 
 
+def aggregate_edges_to_vertices_sum(edge_attr: jax.Array, graph) -> jax.Array:
+    """Full-width edge sum onto BOTH endpoint vertices (the VertPot family's
+    Vertex_Block, reference ``VertPot.py:212-222``). Uses the incidence table
+    when present (one gather), else two segment sums."""
+    if graph.vertex_inc_edge is not None:
+        sel = edge_attr[graph.vertex_inc_edge]          # (V, D, H)
+        sel = sel * graph.vertex_inc_valid[..., None].astype(edge_attr.dtype)
+        return jnp.sum(sel, axis=1)
+    senders, receivers = graph.vertex_edge_index[0], graph.vertex_edge_index[1]
+    out = jax.ops.segment_sum(edge_attr, senders,
+                              num_segments=graph.num_vertices)
+    return out + jax.ops.segment_sum(edge_attr, receivers,
+                                     num_segments=graph.num_vertices)
+
+
 def gather_vertices_to_cells(vertex_values: jax.Array,
                              vertex_face: jax.Array) -> jax.Array:
     """Average of each cell's 3 vertex values (reference ``Fvgn.py:317-321``).

@@ -99,8 +99,8 @@ def compute_stats(config, model, dataset):
     for i in range(len(dataset)):
         graph = dataset.get_item(i)
         _, feats = model.transform_rollout(graph)
-        acc.update(feats, {"cell_x": graph.cell_mask, "cell_y": graph.cell_mask,
-                           "face_x": graph.face_mask, "face_y": graph.face_mask})
+        from gnn_fluid_dynamics_tpu.models.base import feature_masks
+        acc.update(feats, feature_masks(graph, feats))
     stats = acc.finalize()
     if fpath:
         os.makedirs(os.path.dirname(os.path.abspath(fpath)), exist_ok=True)

@@ -1,0 +1,166 @@
+"""Dataset pipeline tests: HDF5 round-trip, samplers, converters, preproc
+helpers."""
+
+import numpy as np
+import pytest
+
+from gnn_fluid_dynamics_tpu.data.cylinderflow import (remap_node_types,
+                                                      trajectory_from_vertex_fields)
+from gnn_fluid_dynamics_tpu.data.hdf5 import (add_grad_weights_to_file,
+                                              load_dataset, save_dataset)
+from gnn_fluid_dynamics_tpu.data.node_types import CylinderNodeType, NodeType
+from gnn_fluid_dynamics_tpu.data.openfoam import (cell_fields_to_faces,
+                                                  classify_vertices_by_patches,
+                                                  map_openfoam_phi_to_faces)
+from gnn_fluid_dynamics_tpu.data.pipeline import MeshDataset, Trajectory
+from gnn_fluid_dynamics_tpu.data.samplers import (chunked_batches,
+                                                  multi_mesh_batches,
+                                                  per_mesh_batches,
+                                                  rollout_order)
+from gnn_fluid_dynamics_tpu.data.synthetic import (make_geometry,
+                                                   structured_channel_mesh,
+                                                   taylor_green_trajectory)
+
+
+def make_traj(i=0, T=6):
+    geom = make_geometry("structured", nx=6, ny=4)
+    fields = taylor_green_trajectory(geom, num_timesteps=T, dt=0.01)
+    return Trajectory(mesh_id=f"mesh_{i}", geom=geom, fields=fields,
+                      dt=0.01, reynolds=100.0)
+
+
+def test_hdf5_roundtrip(tmp_path):
+    trajs = [make_traj(0), make_traj(1)]
+    path = str(tmp_path / "train.h5")
+    save_dataset(path, trajs)
+    loaded = load_dataset(path)
+    assert [t.mesh_id for t in loaded] == ["mesh_0", "mesh_1"]
+    np.testing.assert_allclose(loaded[0].fields["cell_velocity"],
+                               trajs[0].fields["cell_velocity"])
+    np.testing.assert_array_equal(loaded[0].geom["cell_edge_index"],
+                                  trajs[0].geom["cell_edge_index"])
+    assert loaded[0].reynolds == 100.0
+    # flux scaling knob (OpenFOAM 1/0.001, DataSet.py:259)
+    scaled = load_dataset(path, flux_scale=1000.0)
+    np.testing.assert_allclose(scaled[0].fields["face_flux"],
+                               trajs[0].fields["face_flux"] * 1000.0,
+                               rtol=1e-5)
+    # selection semantics
+    assert len(load_dataset(path, sim_limit=1)) == 1
+    assert load_dataset(path, sim_index=[1])[0].mesh_id == "mesh_1"
+
+
+def test_hdf5_grad_weights_cache(tmp_path):
+    path = str(tmp_path / "train.h5")
+    save_dataset(path, [make_traj(0)])
+    add_grad_weights_to_file(path, "cell", 1)
+    add_grad_weights_to_file(path, "cell", 1)  # no-op second time
+    loaded = load_dataset(path, grad_weights_order={"cell": 1})
+    assert "cell_grad_weights" in loaded[0].grad_weights
+    w = loaded[0].grad_weights["cell_grad_weights"]
+    assert w.shape[2] == 2 and w.shape[1] == 6  # K = 2 * 3 terms for order 1
+
+
+def test_samplers():
+    ds = MeshDataset([make_traj(i) for i in range(4)], pad_multiple=32)
+    rng = np.random.default_rng(0)
+
+    ro = rollout_order(ds)
+    assert len(ro[0]) == 4
+    assert all(s[1] == ds.timestep_range[0] for s in ro[0])
+
+    batches = list(multi_mesh_batches(ds, 4, rng))
+    assert all(len(b) == 4 for b in batches)
+
+    for b in per_mesh_batches(ds, 2, rng):
+        assert len({m for m, _ in b}) == 1
+
+    chunk = list(chunked_batches(ds, 2, rng, chunk_meshes=2))
+    # every chunked batch draws from at most 2 distinct meshes
+    assert all(len({m for m, _ in b}) <= 2 for b in chunk)
+
+
+def test_cylinderflow_conversion():
+    pos, cells, vt = structured_channel_mesh(nx=5, ny=3)
+    # DeepMind-style node types
+    ntype = np.full(pos.shape[0], CylinderNodeType.NORMAL)
+    ntype[vt == NodeType.INFLOW] = CylinderNodeType.INFLOW
+    ntype[vt == NodeType.OUTFLOW] = CylinderNodeType.OUTFLOW
+    ntype[vt == NodeType.WALL_BOUNDARY] = CylinderNodeType.WALL_BOUNDARY
+    T, V = 3, pos.shape[0]
+    rng = np.random.default_rng(0)
+    vel = np.tile([1.0, 0.5], (T, V, 1)).astype(np.float32)
+    p = rng.normal(size=(T, V, 1)).astype(np.float32)
+    traj = trajectory_from_vertex_fields("mesh_0", pos, cells, ntype, vel, p)
+    C = traj.geom["cell_pos"].shape[0]
+    assert traj.fields["cell_velocity"].shape == (T, C, 2)
+    # constant field interpolates exactly
+    np.testing.assert_allclose(traj.fields["cell_velocity"][0],
+                               np.tile([1.0, 0.5], (C, 1)), atol=1e-6)
+    np.testing.assert_allclose(traj.fields["face_velocity"][0, :, 0], 1.0,
+                               atol=1e-6)
+    # types remapped onto the 5-class taxonomy
+    assert set(np.unique(traj.geom["face_type"])) <= {0, 1, 2, 3, 4}
+
+
+def test_remap_node_types():
+    x = np.array([0, 1, 4, 5, 6])
+    np.testing.assert_array_equal(
+        remap_node_types(x),
+        [NodeType.NORMAL, NodeType.WALL_BOUNDARY, NodeType.INFLOW,
+         NodeType.OUTFLOW, NodeType.WALL_BOUNDARY])
+
+
+def test_classify_vertices_by_patches():
+    pos, cells, _ = structured_channel_mesh(nx=4, ny=3, lx=2.0, ly=1.0)
+    patches = {
+        "inlet": np.concatenate(
+            [pos[np.abs(pos[:, 0]) < 1e-9], np.zeros((np.sum(np.abs(pos[:, 0]) < 1e-9), 1))], axis=1),
+        "outlet": np.concatenate(
+            [pos[np.abs(pos[:, 0] - 2.0) < 1e-9], np.zeros((np.sum(np.abs(pos[:, 0] - 2.0) < 1e-9), 1))], axis=1),
+        "walls": np.concatenate(
+            [pos[(np.abs(pos[:, 1]) < 1e-9) | (np.abs(pos[:, 1] - 1.0) < 1e-9)],
+             np.zeros((np.sum((np.abs(pos[:, 1]) < 1e-9) | (np.abs(pos[:, 1] - 1.0) < 1e-9)), 1))], axis=1),
+    }
+    types = classify_vertices_by_patches(pos, patches)
+    assert (types[np.abs(pos[:, 0]) < 1e-9] != NodeType.NORMAL).all()
+    # walls take priority at corners
+    corner = (np.abs(pos[:, 0]) < 1e-9) & (np.abs(pos[:, 1]) < 1e-9)
+    assert (types[corner] == NodeType.WALL_BOUNDARY).all()
+    interior = ((pos[:, 0] > 0.1) & (pos[:, 0] < 1.9)
+                & (pos[:, 1] > 0.1) & (pos[:, 1] < 0.9))
+    assert (types[interior] == NodeType.NORMAL).all()
+
+
+def test_cell_fields_to_faces_constant():
+    geom = make_geometry("structured", nx=5, ny=3)
+    C = geom["cell_pos"].shape[0]
+    vals = np.tile([2.0, -1.0], (C, 1))
+    face_vals = cell_fields_to_faces(vals, geom)
+    np.testing.assert_allclose(face_vals, np.tile([2.0, -1.0],
+                                                  (geom["face_pos"].shape[0], 1)),
+                               atol=1e-6)
+    # boundary override
+    bvals = np.tile([9.0, 9.0], (geom["face_pos"].shape[0], 1))
+    face_vals2 = cell_fields_to_faces(vals, geom, boundary_values=bvals)
+    b = geom["face_boundary_mask"]
+    np.testing.assert_allclose(face_vals2[b], 9.0)
+    np.testing.assert_allclose(face_vals2[~b], face_vals[~b])
+
+
+def test_map_openfoam_phi_sign_correction():
+    geom = make_geometry("structured", nx=4, ny=3)
+    interior = ~geom["face_boundary_mask"]
+    centers = geom["face_pos"][interior]
+    centers3 = np.concatenate([centers, np.zeros((centers.shape[0], 1))], axis=1)
+    phi = np.ones(centers.shape[0])
+    # OpenFOAM owner->neighbour agreeing with our normals -> +1 everywhere
+    o2n = np.concatenate([geom["face_normal"][interior],
+                          np.zeros((centers.shape[0], 1))], axis=1)
+    out = map_openfoam_phi_to_faces(phi, centers3, o2n, geom)
+    np.testing.assert_allclose(out[interior, 0], 1.0)
+    # opposing direction -> sign flipped
+    out2 = map_openfoam_phi_to_faces(phi, centers3, -o2n, geom)
+    np.testing.assert_allclose(out2[interior, 0], -1.0)
+    # boundary faces untouched (zero)
+    np.testing.assert_allclose(out[geom["face_boundary_mask"], 0], 0.0)

@@ -1,0 +1,78 @@
+"""Data-generation pipeline tests: mesh driver, built-in CFD solver
+(stability + discrete incompressibility on quality meshes), conversion."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from gnn_fluid_dynamics_tpu.data.node_types import NodeType
+from gnn_fluid_dynamics_tpu.data.synthetic import structured_channel_mesh
+from gnn_fluid_dynamics_tpu.generate import conversion as genconv
+from gnn_fluid_dynamics_tpu.generate import mesh as genmesh
+from gnn_fluid_dynamics_tpu.generate import simulation as gensim
+from gnn_fluid_dynamics_tpu.generate.simulation import simulate_projection
+from gnn_fluid_dynamics_tpu.ops.connectivity import build_geometry
+
+
+def test_mesh_driver(tmp_path):
+    out = str(tmp_path / "meshes")
+    genmesh.main(["--num", "2", "--out", out, "--h", "0.08"])
+    for i in range(2):
+        case = os.path.join(out, f"mesh_{i}")
+        mesh = np.load(os.path.join(case, "mesh.npz"))
+        with open(os.path.join(case, "meta.json")) as f:
+            meta = json.load(f)
+        assert mesh["vertex_pos"].shape[0] > 50
+        assert meta["dt"] > 0 and 100 <= meta["Re"] <= 1000
+        # mesh quality: no degenerate cells
+        geom = build_geometry(mesh["vertex_pos"], mesh["cells"],
+                              mesh["vertex_types"], NodeType)
+        vol = geom["cell_volume"].reshape(-1)
+        assert vol.min() > 0
+
+
+def test_builtin_solver_stable_and_incompressible():
+    """On a quality mesh the projection solver must stay bounded and produce
+    discretely divergence-free face fluxes (the supervision signal the Flux
+    models rely on)."""
+    pos, cells, vt = structured_channel_mesh(nx=20, ny=10)
+    geom = build_geometry(pos, cells, vt, NodeType)
+    params = {"u_in": 1.0, "Re": 150.0, "rx": 0.1, "ly": 1.0, "dt": 0.03}
+    fields = simulate_projection(geom, params, 30, save_every=1)
+    v = fields["cell_velocity"]
+    assert np.isfinite(v).all()
+    assert np.abs(v).max() < 2.0          # bounded (parabolic peak = 1.0)
+    # energy approaches the parabolic-profile steady state, not infinity
+    e = np.mean(v ** 2, axis=(1, 2))
+    assert e[-1] < 0.4
+    assert e[-1] > e[2]
+    # discrete incompressibility of the saved flux
+    sign = geom["cell_face_sign"]
+    flux = fields["face_flux"][-1][:, 0]
+    div = np.abs((flux[geom["face_index"].T] * sign).sum(1))
+    assert div.max() < 1e-8
+
+
+def test_conversion_roundtrip(tmp_path):
+    meshes = str(tmp_path / "m")
+    raw = str(tmp_path / "r")
+    out = str(tmp_path / "h5")
+    # structured mesh written in the generate layout (solver-safe)
+    pos, cells, vt = structured_channel_mesh(nx=12, ny=6)
+    case = os.path.join(meshes, "mesh_0")
+    os.makedirs(case)
+    np.savez(os.path.join(case, "mesh.npz"), vertex_pos=pos, cells=cells,
+             vertex_types=vt)
+    with open(os.path.join(case, "meta.json"), "w") as f:
+        json.dump({"u_in": 1.0, "Re": 150.0, "rx": 0.1, "ly": 1.0,
+                   "lx": 2.0, "cx": 0.5, "cy": 0.5, "ry": 0.1,
+                   "angle": 0.0, "dt": 0.03}, f)
+    gensim.main(["--meshes", meshes, "--out", raw, "--steps", "5",
+                 "--backend", "builtin"])
+    genconv.main(["--raw", raw, "--meshes", meshes, "--out", out])
+    from gnn_fluid_dynamics_tpu.data.hdf5 import load_dataset
+    trajs = load_dataset(os.path.join(out, "train.h5"))
+    assert trajs and trajs[0].fields["cell_velocity"].shape[0] == 5
+    assert np.isfinite(trajs[0].fields["cell_velocity"]).all()

@@ -36,8 +36,8 @@ def setup():
     g0 = ds.get_batch(ds.sample_map[:1])
     _, feats = model.transform_features(g0, None, mode="rollout")
     acc = StatsAccumulator(model.nmap)
-    acc.update(feats, {"cell_x": g0.cell_mask, "cell_y": g0.cell_mask,
-                       "face_x": g0.face_mask, "face_y": g0.face_mask})
+    from gnn_fluid_dynamics_tpu.models.base import feature_masks
+    acc.update(feats, feature_masks(g0, feats))
     model.set_stats(acc.finalize())
     return ds, cfg, model, g0, feats
 

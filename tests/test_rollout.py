@@ -34,8 +34,8 @@ def setup_model(ds, name="FvgnA"):
     g = ds.get_batch(rollout_batch(ds))
     _, feats = model.transform_features(g, None, mode="rollout")
     acc = StatsAccumulator(model.nmap)
-    acc.update(feats, {"cell_x": g.cell_mask, "cell_y": g.cell_mask,
-                       "face_x": g.face_mask, "face_y": g.face_mask})
+    from gnn_fluid_dynamics_tpu.models.base import feature_masks
+    acc.update(feats, feature_masks(g, feats))
     model.set_stats(acc.finalize())
     variables = model.init(jax.random.PRNGKey(0), g, feats)
     return model, variables, g, feats

@@ -48,8 +48,8 @@ def test_train_step_reduces_loss():
     g = ds.get_batch(ds.sample_map[:2])
     _, feats = model.transform_features(g, None, mode="rollout")
     acc = StatsAccumulator(model.nmap)
-    acc.update(feats, {"cell_x": g.cell_mask, "cell_y": g.cell_mask,
-                       "face_x": g.face_mask, "face_y": g.face_mask})
+    from gnn_fluid_dynamics_tpu.models.base import feature_masks
+    acc.update(feats, feature_masks(g, feats))
     model.set_stats(acc.finalize())
 
     trainer = Trainer(cfg, model)
