@@ -27,10 +27,10 @@ def main():
     parser.add_argument("--mp-num", type=int, default=15)
     parser.add_argument("--model", type=str, default="FluxD")
     parser.add_argument("--n-points", type=int, default=2400)
-    parser.add_argument("--aggregation", type=str, default="segment")
-    parser.add_argument("--dtype", type=str, default="float32",
+    parser.add_argument("--aggregation", type=str, default="banded")
+    parser.add_argument("--dtype", type=str, default="bfloat16",
                         choices=["float32", "bfloat16"])
-    parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--repeats", type=int, default=2)
     args = parser.parse_args()
 
     from gnn_fluid_dynamics_tpu.data.pipeline import (MeshDataset, Trajectory,
@@ -44,11 +44,16 @@ def main():
 
     # cylinder-in-channel mesh at DeepMind cylinder-flow scale (~3.5k cells)
     geom = make_geometry("cylinder", n_points=args.n_points, seed=0)
+    if args.aggregation == "banded":
+        # RCM relabeling narrows the aggregation bands (ops/reorder.py)
+        from gnn_fluid_dynamics_tpu.ops.reorder import rcm_reorder_geometry
+        geom = rcm_reorder_geometry(geom)
     n_cells = geom["cell_pos"].shape[0]
     fields = channel_flow_trajectory(geom, num_timesteps=4, dt=0.01)
     traj = Trajectory(mesh_id="mesh_0", geom=geom, fields=fields)
     ds = MeshDataset([traj], pad_multiple=256,
-                     with_incidence=args.aggregation == "gather")
+                     with_incidence=args.aggregation == "gather",
+                     with_banded=args.aggregation == "banded")
 
     loss_weights = {"continuity": 0.0, "cell_velocity_change": 10.0,
                     "cell_pressure": 1.0, "face_velocity": 1.0,

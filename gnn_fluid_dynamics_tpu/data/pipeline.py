@@ -73,14 +73,18 @@ class MeshDataset:
                  stride: int = 1, data_window: int = 2,
                  timestep_range: Optional[Tuple[int, int]] = None,
                  pad_multiple: int = 128,
-                 with_incidence: bool = False):
+                 with_incidence: bool = False,
+                 with_banded: bool = False):
         assert trajectories
         self.trajectories = list(trajectories)
         self.by_id = {t.mesh_id: t for t in self.trajectories}
         self.stride = stride
         self.data_window = data_window
+        if with_banded and pad_multiple % 128:
+            pad_multiple = 128
         self.pad_multiple = pad_multiple
         self.with_incidence = with_incidence
+        self.with_banded = with_banded
 
         def rup(n):
             m = max(pad_multiple, 1)
@@ -123,7 +127,8 @@ class MeshDataset:
             self._static_graphs[mesh_id] = from_geometry(
                 t.geom, fields=t.grad_weights, dt=t.dt * self.stride,
                 reynolds=t.reynolds, pad_to=self.pad_to,
-                with_incidence=self.with_incidence)
+                with_incidence=self.with_incidence,
+                with_banded=self.with_banded)
         return self._static_graphs[mesh_id]
 
     def _batched_static(self, mesh_ids: Tuple[str, ...]) -> MeshGraph:

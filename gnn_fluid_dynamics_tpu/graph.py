@@ -92,6 +92,15 @@ class MeshGraph:
     vertex_inc_edge: jax.Array = None       # (V, D) int32
     vertex_inc_half: jax.Array = None       # (V, D) int32 0=fwd 1=rev
     vertex_inc_valid: jax.Array = None      # (V, D) bool
+    # --- optional banded one-hot aggregation tables (ops/banded.py). Band
+    # starts are STATIC (tuples) so XLA sees constant slice offsets. ---
+    hv_onehot: jax.Array = None             # (Tv, 128, Bhv) halfedge->vertex
+    vc_onehot: jax.Array = None             # (Tc, 128, Bvc) vertex->cell (1/3)
+    cf_row_onehot: jax.Array = None         # (Tf, 128, Bcf) owner selector
+    cf_col_onehot: jax.Array = None         # (Tf, 128, Bcf) neighbour selector
+    hv_start: tuple = struct.field(pytree_node=False, default=None)
+    vc_start: tuple = struct.field(pytree_node=False, default=None)
+    cf_start: tuple = struct.field(pytree_node=False, default=None)
 
     # ---- derived sizes (static) ----
     @property
@@ -135,6 +144,7 @@ def from_geometry(
     pad_to: Optional[Dict[str, int]] = None,
     dtype=jnp.float32,
     with_incidence: bool = False,
+    with_banded: bool = False,
     max_degree: int = 0,
 ) -> MeshGraph:
     """Build a (single-graph) MeshGraph from a numpy geometry dict.
@@ -259,6 +269,25 @@ def from_geometry(
             padf(inc.edge_id, Vp, value=pad_face).astype(np.int32))
         kwargs["vertex_inc_half"] = jnp.asarray(padf(inc.half, Vp).astype(np.int32))
         kwargs["vertex_inc_valid"] = jnp.asarray(padf(inc.valid, Vp).astype(bool))
+    if with_banded:
+        from gnn_fluid_dynamics_tpu.ops.banded import build_banded_tables
+        assert Cp % 128 == 0 and Fp % 128 == 0 and Vp % 128 == 0, \
+            "banded aggregation needs 128-divisible padding"
+        padded_geom = {
+            "vertex_pos": np.zeros((Vp, 2)),
+            "cell_pos": np.zeros((Cp, 2)),
+            "vertex_edge_index": vertex_edge_index,
+            "vertex_face": vertex_face,
+            "cell_edge_index": cell_edge_index,
+        }
+        tables = build_banded_tables(padded_geom)
+        kwargs["hv_onehot"] = jnp.asarray(tables.hv_onehot)
+        kwargs["vc_onehot"] = jnp.asarray(tables.vc_onehot)
+        kwargs["cf_row_onehot"] = jnp.asarray(tables.cf_row_onehot)
+        kwargs["cf_col_onehot"] = jnp.asarray(tables.cf_col_onehot)
+        kwargs["hv_start"] = tuple(int(x) for x in tables.hv_start)
+        kwargs["vc_start"] = tuple(int(x) for x in tables.vc_start)
+        kwargs["cf_start"] = tuple(int(x) for x in tables.cf_start)
     return MeshGraph(**kwargs)
 
 
@@ -312,7 +341,8 @@ def batch_graphs(graphs) -> MeshGraph:
     )
     for key in ("cell_velocity", "cell_pressure", "face_velocity",
                 "face_pressure", "face_flux", "cell_grad_weights",
-                "face_grad_weights", "vertex_inc_half", "vertex_inc_valid"):
+                "face_grad_weights", "vertex_inc_half", "vertex_inc_valid",
+                "hv_onehot", "vc_onehot", "cf_row_onehot", "cf_col_onehot"):
         vals = [getattr(g, key) for g in graphs]
         kwargs[key] = None if vals[0] is None else cat(vals)
     for key, per in (("cell_grad_neighbours", C), ("face_grad_neighbours", F),
@@ -320,6 +350,11 @@ def batch_graphs(graphs) -> MeshGraph:
         vals = [getattr(g, key) for g in graphs]
         kwargs[key] = None if vals[0] is None else cat(
             [v + i * per for i, v in enumerate(vals)])
+    # banded band starts are static tuples; sources offset per graph
+    for key, per in (("hv_start", 2 * F), ("vc_start", V), ("cf_start", C)):
+        vals = [getattr(g, key) for g in graphs]
+        kwargs[key] = None if vals[0] is None else tuple(
+            s + i * per for i, v in enumerate(vals) for s in v)
     return MeshGraph(**kwargs)
 
 

@@ -119,6 +119,11 @@ def aggregate_twice_mp(edge_attr: jax.Array, graph: MeshGraph,
     forward/reverse halves, scatter onto vertices, average each cell's 3
     vertices (``Fvgn.py:305-321``). Returns (C, H/2)."""
     H = edge_attr.shape[-1]
+    if aggregation == "banded" and graph.hv_onehot is not None:
+        from gnn_fluid_dynamics_tpu.ops.banded import banded_matmul
+        hr = edge_attr.reshape(2 * edge_attr.shape[0], H // 2)
+        vtx = banded_matmul(graph.hv_onehot, graph.hv_start, hr)
+        return banded_matmul(graph.vc_onehot, graph.vc_start, vtx)
     if aggregation == "gather" and graph.vertex_inc_edge is not None:
         vtx = seg_ops.aggregate_edges_to_vertices_gather(
             edge_attr, graph.vertex_inc_edge, graph.vertex_inc_half,
@@ -128,6 +133,23 @@ def aggregate_twice_mp(edge_attr: jax.Array, graph: MeshGraph,
         vtx = seg_ops.aggregate_edges_to_vertices_scatter(
             fwd, rev, graph.vertex_edge_index, graph.num_vertices)
     return seg_ops.gather_vertices_to_cells(vtx, graph.vertex_face)
+
+
+def gather_face_cells(cell_attr: jax.Array, graph: MeshGraph,
+                      aggregation: str):
+    """(x[owner], x[neighbour]) per face — banded einsum when available, else
+    row gathers."""
+    if aggregation == "banded" and graph.cf_row_onehot is not None:
+        from gnn_fluid_dynamics_tpu.ops.banded import _bands
+        B = graph.cf_row_onehot.shape[2]
+        bands = _bands(cell_attr, graph.cf_start, B)       # (Tf, B, H)
+        x_row = jnp.einsum("tib,tbh->tih", graph.cf_row_onehot,
+                           bands).reshape(-1, cell_attr.shape[1])
+        x_col = jnp.einsum("tib,tbh->tih", graph.cf_col_onehot,
+                           bands).reshape(-1, cell_attr.shape[1])
+        return x_row, x_col
+    row, col = graph.cell_edge_index[0], graph.cell_edge_index[1]
+    return cell_attr[row], cell_attr[col]
 
 
 class CellBlock(nn.Module):
@@ -156,8 +178,9 @@ class FaceBlock(nn.Module):
     @nn.compact
     def __call__(self, cell_attr, edge_attr, graph: MeshGraph,
                  extra=None, train: bool = False):
-        row, col = graph.cell_edge_index[0], graph.cell_edge_index[1]
-        parts = [edge_attr, cell_attr[row], cell_attr[col]]
+        x_row, x_col = gather_face_cells(cell_attr, graph,
+                                         self.cfg.aggregation)
+        parts = [edge_attr, x_row, x_col]
         if extra is not None:
             parts.append(jnp.broadcast_to(extra, (edge_attr.shape[0], extra.shape[-1])))
         agg = jnp.concatenate(parts, axis=-1)

@@ -58,10 +58,19 @@ def build_datasets(config, model_cls):
             trajs = load_dataset(path, sim_limit=sim_limit,
                                  sim_index=sim_index, flux_scale=flux_scale,
                                  shuffle=config.dataset.shuffle)
+        if config.model.aggregation == "banded":
+            # RCM relabeling narrows the aggregation bands (ops/reorder.py)
+            from gnn_fluid_dynamics_tpu.ops.reorder import (rcm_reorder_geometry,
+                                                            reorder_fields)
+            for t in trajs:
+                new_geom = rcm_reorder_geometry(t.geom)
+                t.fields = reorder_fields(t.fields, t.geom, new_geom)
+                t.geom = new_geom
         return MeshDataset(trajs, stride=stride, data_window=window,
                            timestep_range=timestep_range,
                            pad_multiple=config.training.pad_multiple,
-                           with_incidence=config.model.aggregation == "gather")
+                           with_incidence=config.model.aggregation == "gather",
+                           with_banded=config.model.aggregation == "banded")
 
     train_ds = load(config.training.data_subset,
                     config.training.data_sim_limit,

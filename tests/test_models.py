@@ -200,3 +200,60 @@ def test_masked_loss_ignores_padding():
     np.testing.assert_allclose(float(after["cell_velocity_change_loss"]),
                                float(base["cell_velocity_change_loss"]),
                                rtol=1e-6)
+
+
+def test_banded_aggregation_equivalence():
+    """Banded one-hot einsum aggregation must match the scatter path (within
+    matmul-precision tolerance) on an RCM-reordered mesh."""
+    from gnn_fluid_dynamics_tpu.data.synthetic import taylor_green_trajectory
+    from gnn_fluid_dynamics_tpu.ops.reorder import rcm_reorder_geometry
+    geom = make_geometry("structured", nx=8, ny=6)
+    geom = rcm_reorder_geometry(geom)
+    fields = taylor_green_trajectory(geom, num_timesteps=3, dt=0.01)
+    g = from_geometry(geom, fields, dt=0.01, pad_multiple=128,
+                      with_banded=True)
+    model_seg = make_model("FvgnA", g)
+    _, feats = model_seg.transform_features(g, None, mode="rollout")
+    variables = model_seg.init(jax.random.PRNGKey(1), g, feats)
+    o_seg, _ = model_seg.forward(variables, g, feats, mode="rollout")
+
+    model_band = make_model("FvgnA", g, aggregation="banded")
+    o_band, _ = model_band.forward(variables, g, feats, mode="rollout")
+    C = int(np.asarray(g.cell_mask).sum())
+    np.testing.assert_allclose(
+        np.asarray(o_band["cell_velocity_change"][:C]),
+        np.asarray(o_seg["cell_velocity_change"][:C]),
+        rtol=2e-2, atol=2e-3)
+
+    # batching two banded graphs keeps band offsets consistent
+    gb = batch_graphs([g, g])
+    _, fb = model_band.transform_features(gb, None, mode="rollout")
+    ob, _ = model_band.forward(variables, gb, fb, mode="rollout")
+    single = np.asarray(o_band["cell_velocity_change"][:C])
+    np.testing.assert_allclose(np.asarray(ob["cell_velocity_change"][:C]),
+                               single, rtol=1e-4, atol=1e-5)
+    Cp = g.num_cells
+    np.testing.assert_allclose(
+        np.asarray(ob["cell_velocity_change"][Cp:Cp + C]), single,
+        rtol=1e-4, atol=1e-5)
+
+
+def test_rcm_reorder_preserves_physics():
+    """Reordering is a pure relabeling: divergence of the exact TG flux is
+    unchanged (up to fp order)."""
+    from gnn_fluid_dynamics_tpu.data.synthetic import taylor_green_trajectory
+    from gnn_fluid_dynamics_tpu.ops.reorder import rcm_reorder_geometry
+    from gnn_fluid_dynamics_tpu.ops import fvm
+    geom = make_geometry("cylinder", n_points=300, seed=2)
+    geom2 = rcm_reorder_geometry(geom)
+    for gg in (geom, geom2):
+        fields = taylor_green_trajectory(gg, num_timesteps=1, dt=0.01)
+        flux = jnp.asarray(fields["face_flux"][0])
+        cf = fvm.face_flux_to_cell_flux(flux, jnp.asarray(gg["face_index"]),
+                                        jnp.asarray(gg["cell_face_sign"]))
+        div = np.abs(np.asarray(fvm.divergence_from_cell_flux(cf[..., 0])))
+        assert div.max() < 1e-2
+    # closure identity still holds after reorder
+    area = geom2["face_area"].reshape(-1)[geom2["face_index"].T][..., None]
+    closure = np.sum(geom2["cell_normal"] * area, axis=1)
+    np.testing.assert_allclose(closure, 0.0, atol=1e-5)
