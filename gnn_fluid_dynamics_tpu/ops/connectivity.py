@@ -204,16 +204,41 @@ def classify_edges(vertex_edge_index, vertex_types, class_types) -> np.ndarray:
     return edge_types
 
 
+def compute_connectivity_full(cells: np.ndarray, vertex_pos: np.ndarray,
+                              use_native: bool = True):
+    """Connectivity + derived sign/slot tables in one pass.
+
+    Uses the C++ builder (:mod:`gnn_fluid_dynamics_tpu.native`) when a
+    compiler/library is available — identical contract, ~100x faster on large
+    meshes — else the vectorized numpy path.
+    """
+    if use_native:
+        try:
+            from gnn_fluid_dynamics_tpu import native
+            result = native.compute_connectivity(cells, vertex_pos)
+            if result is not None:
+                return result
+        except Exception:
+            pass
+    face_index, cell_edge_index, vertex_edge_index = compute_connectivity(
+        cells, vertex_pos)
+    sign = compute_cell_face_sign(face_index, cell_edge_index)
+    slot = compute_owner_local_slot(face_index, cell_edge_index)
+    return face_index, cell_edge_index, vertex_edge_index, sign, slot
+
+
 def build_geometry(vertex_pos: np.ndarray, cells: np.ndarray,
-                   vertex_types: np.ndarray, class_types) -> Dict[str, np.ndarray]:
+                   vertex_types: np.ndarray, class_types,
+                   use_native: bool = True) -> Dict[str, np.ndarray]:
     """Full geometry pipeline — the analogue of reference
     ``DataSet.write_geometry`` (``src/datasets/DataSet.py:276-312``), plus the
     precomputed static sign/slot tables that make TPU flux ops pure gathers.
     """
     vertex_pos = np.asarray(vertex_pos, dtype=np.float64)
     cells = np.asarray(cells, dtype=np.int64)
-    face_index, cell_edge_index, vertex_edge_index = compute_connectivity(
-        cells, vertex_pos)
+    (face_index, cell_edge_index, vertex_edge_index, cell_face_sign,
+     owner_local_slot) = compute_connectivity_full(cells, vertex_pos,
+                                                   use_native=use_native)
 
     vertex_edge_vector = (vertex_pos[vertex_edge_index[1]]
                           - vertex_pos[vertex_edge_index[0]])
@@ -245,6 +270,6 @@ def build_geometry(vertex_pos: np.ndarray, cells: np.ndarray,
         "cell_edge_index": cell_edge_index,
         "cell_volume": cell_volume.astype(np.float32),
         "cell_normal": cell_normal.astype(np.float32),
-        "cell_face_sign": compute_cell_face_sign(face_index, cell_edge_index),
-        "owner_local_slot": compute_owner_local_slot(face_index, cell_edge_index),
+        "cell_face_sign": np.asarray(cell_face_sign, np.float32),
+        "owner_local_slot": np.asarray(owner_local_slot),
     }

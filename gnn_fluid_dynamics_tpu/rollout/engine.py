@@ -38,15 +38,19 @@ class RolloutConfig:
 
 
 def _divergence_metric(model, solutions: Dict, feats: Dict,
-                       graph: MeshGraph) -> jax.Array:
+                       graph: MeshGraph, sub_step: int = -1) -> jax.Array:
     """Pick the divergence estimate by available outputs
-    (reference rollout.py:133-148). Static dispatch — resolved at trace time."""
+    (reference rollout.py:133-148). Static dispatch — resolved at trace time.
+    ``sub_step`` selects the bundled target for BC clamping
+    (reference rollout.py:139-142)."""
     if "cell_flux" in solutions:
         div = fvm.divergence_from_cell_flux(solutions["cell_flux"])
     elif "face_velocity" in solutions:
         # clamp boundary (INFLOW) faces to the BC targets before measuring
         bc = ~interior_face_mask(graph.face_type)
-        uf = jnp.where(bc[:, None], feats["face_y"][:, 0:2],
+        fy = feats["face_y"]
+        bc_vals = fy[:, sub_step, 0:2] if fy.ndim == 3 else fy[:, 0:2]
+        uf = jnp.where(bc[:, None], bc_vals,
                        solutions["face_velocity"])
         div = fvm.divergence_from_uf(uf, graph.cell_normal, graph.face_area,
                                      graph.face_index)
@@ -86,40 +90,83 @@ def rollout_scan(model, variables: Dict, graph: MeshGraph,
     """
     num_graphs = graph.num_graphs
     compute_error = config.compute_error and gt_cell_velocity is not None
+    # temporal bundling (FvgnC): each forward emits k sub-steps
+    # (reference rollout.py:317-335)
+    bundle = int(getattr(getattr(model, "config", None), "bundle_size", None)
+                 or 1)
+
+    def measure(sol, feats, gt_t, ys, suffix="", sub_step=-1):
+        gv, gp = gt_t
+        ys["velocity_error" + suffix] = rel_mse_per_graph(
+            gv, sol["cell_velocity"], graph.cell_mask, graph.cell_batch,
+            num_graphs)
+        ys["pressure_error" + suffix] = rel_mse_per_graph(
+            gp, sol["cell_pressure"], graph.cell_mask, graph.cell_batch,
+            num_graphs)
+        div = _divergence_metric(model, sol, feats, graph, sub_step)
+        ys["divergence_error" + suffix] = mse_per_graph(
+            div, jnp.zeros_like(div), graph.cell_mask, graph.cell_batch,
+            num_graphs)
 
     def step(feats, gt_t):
         outputs, _ = model.forward(variables, graph, feats, mode="rollout")
-        sol = model.derive_state(outputs, feats, graph)
-
         ys = {}
-        if compute_error:
-            gv, gp = gt_t
-            ys["velocity_error"] = rel_mse_per_graph(
-                gv, sol["cell_velocity"], graph.cell_mask, graph.cell_batch,
-                num_graphs)
-            ys["pressure_error"] = rel_mse_per_graph(
-                gp, sol["cell_pressure"], graph.cell_mask, graph.cell_batch,
-                num_graphs)
-            div = _divergence_metric(model, sol, feats, graph)
-            ys["divergence_error"] = mse_per_graph(
-                div, jnp.zeros_like(div), graph.cell_mask, graph.cell_batch,
-                num_graphs)
-        if config.save_fields:
-            ys["cell_velocity"] = sol["cell_velocity"]
-            ys["cell_pressure"] = sol["cell_pressure"]
+        if bundle == 1:
+            sol = model.derive_state(outputs, feats, graph)
+            if compute_error:
+                measure(sol, feats, gt_t, ys)
+            if config.save_fields:
+                ys["cell_velocity"] = sol["cell_velocity"]
+                ys["cell_pressure"] = sol["cell_pressure"]
+        else:
+            # extract each bundled sub-step (reference rollout.py:320-335)
+            subs = []
+            for k in range(bundle):
+                sub = {key: (v[:, k] if (hasattr(v, "ndim") and v.ndim >= 3
+                                         and not key.startswith("_")) else v)
+                       for key, v in outputs.items()}
+                sol_k = model.derive_state(sub, feats, graph)
+                subs.append(sol_k)
+                if compute_error:
+                    gt_k = jax.tree.map(lambda x: x[k], gt_t)
+                    measure(sol_k, feats, gt_k, ys, suffix=f"_k{k}",
+                            sub_step=k)
+            sol = subs[-1]
+            if config.save_fields:
+                ys["cell_velocity"] = jnp.stack(
+                    [s["cell_velocity"] for s in subs], axis=0)
+                ys["cell_pressure"] = jnp.stack(
+                    [s["cell_pressure"] for s in subs], axis=0)
 
         new_feats = model.update_features(sol, feats, graph)
         return new_feats, ys
 
+    n_outer = config.num_steps // bundle if bundle > 1 else config.num_steps
+    n_outer = max(n_outer, 1)
     if compute_error:
         T = gt_cell_velocity.shape[0]
-        assert T >= config.num_steps, (T, config.num_steps)
-        xs = (gt_cell_velocity[:config.num_steps],
-              gt_cell_pressure[:config.num_steps])
+        assert T >= n_outer * bundle, (T, config.num_steps, bundle)
+        gv = gt_cell_velocity[: n_outer * bundle]
+        gp = gt_cell_pressure[: n_outer * bundle]
+        if bundle > 1:
+            gv = gv.reshape(n_outer, bundle, *gv.shape[1:])
+            gp = gp.reshape(n_outer, bundle, *gp.shape[1:])
+        xs = (gv, gp)
     else:
-        xs = (jnp.zeros((config.num_steps, 0)), jnp.zeros((config.num_steps, 0)))
+        xs = (jnp.zeros((n_outer, 0)), jnp.zeros((n_outer, 0)))
 
-    final_feats, ys = jax.lax.scan(step, feats0, xs, length=config.num_steps)
+    final_feats, ys = jax.lax.scan(step, feats0, xs, length=n_outer)
+    if bundle > 1:
+        # interleave per-sub-step outputs back into a flat time axis
+        for base in ("velocity_error", "pressure_error", "divergence_error"):
+            ks = [f"{base}_k{k}" for k in range(bundle)]
+            if all(k in ys for k in ks):
+                stacked = jnp.stack([ys.pop(k) for k in ks], axis=1)
+                ys[base] = stacked.reshape(-1, *stacked.shape[2:])
+        for base in ("cell_velocity", "cell_pressure"):
+            if base in ys:
+                v = ys.pop(base)                     # (T_outer, k, C, D)
+                ys[base] = v.reshape(-1, *v.shape[2:])
 
     errors = {k: ys[k] for k in ("velocity_error", "pressure_error",
                                  "divergence_error") if k in ys}

@@ -114,8 +114,9 @@ class Logger:
                 self.save_plot(values, step, f"{prefix}/{name}/{key}")
 
     def save_snapshot(self, snapshot_data: Dict, step: int, prefix: str):
-        """Velocity-field snapshots (reference logging.py:234-270): saved as
-        .npz per timestep rather than matplotlib images (headless-safe)."""
+        """Velocity-field snapshots (reference logging.py:234-270): raw arrays
+        as .npz always; rendered |u| tripcolor PNGs when matplotlib is
+        importable (headless Agg backend)."""
         if not snapshot_data:
             return
         snap_dir = os.path.join(self.directory, "snapshots")
@@ -127,6 +128,36 @@ class Logger:
                     out[f"{mesh}/{key}"] = np.asarray(arr)
             np.savez(os.path.join(snap_dir, f"step{step}_t{timestep}.npz"),
                      **out)
+            self._render_snapshot(meshes, snap_dir, step, timestep)
+
+    @staticmethod
+    def _render_snapshot(meshes: Dict, snap_dir: str, step, timestep):
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            import matplotlib.tri as mtri
+        except ImportError:                       # pragma: no cover
+            return
+        n = len(meshes)
+        fig, axes = plt.subplots(n, 1, figsize=(8, 3 * n), squeeze=False)
+        for ax, (mesh, payload) in zip(axes[:, 0], meshes.items()):
+            pos = np.asarray(payload["vertex_pos"])
+            tris = np.asarray(payload["vertex_face"]).T
+            field = np.asarray(payload["field_data"])
+            speed = np.linalg.norm(field, axis=-1) if field.ndim == 2 \
+                else field
+            tri = mtri.Triangulation(pos[:, 0], pos[:, 1], tris)
+            # cell-valued field -> facecolors per triangle
+            tpc = ax.tripcolor(tri, facecolors=speed[: tris.shape[0]],
+                               cmap="viridis")
+            fig.colorbar(tpc, ax=ax, label="|u|")
+            ax.set_aspect("equal")
+            ax.set_title(f"{mesh} t={timestep}")
+        fig.tight_layout()
+        fig.savefig(os.path.join(snap_dir, f"step{step}_t{timestep}.png"),
+                    dpi=100)
+        plt.close(fig)
 
     def close(self):
         self._metrics_file.close()

@@ -153,14 +153,18 @@ class Trainer:
                 opt_state=opt_state,
                 step=state.step + 1,
                 rng=rng)
-            return new_state, losses
+            return new_state, losses, (grads if self.monitor is not None
+                                       else None)
 
         return jax.jit(step, donate_argnums=(0,))
 
     def train_step(self, state: TrainState, graph: MeshGraph, lr: float):
         if self._train_step_fn is None:
             self._train_step_fn = self._build_train_step()
-        return self._train_step_fn(state, graph, jnp.asarray(lr, jnp.float32))
+        state, losses, grads = self._train_step_fn(
+            state, graph, jnp.asarray(lr, jnp.float32))
+        self._last_grads = grads
+        return state, losses
 
     # ---- loop ---------------------------------------------------------------
     def run(self, state: TrainState, train_dataset: MeshDataset,
@@ -195,6 +199,16 @@ class Trainer:
                 if self.step_count % steps_per_mini_epoch == 0:
                     self.mini_epoch_count += 1
                     me_time = time.time() - me_start
+                    # grad/param monitoring (reference train.py:258-277)
+                    if self.monitor is not None and self.logger is not None:
+                        self.monitor.monitor_decoder_gradients(
+                            getattr(self, "_last_grads", None) or {},
+                            self.logger, self.mini_epoch_count)
+                        self.monitor.monitor_decoder_updates(
+                            state.params, self.logger, self.mini_epoch_count)
+                        self.monitor.monitor_scalar_parameters(
+                            state.params, getattr(self, "_last_grads", None),
+                            self.logger, self.mini_epoch_count)
                     for k in mini_losses:
                         mini_losses[k] /= steps_per_mini_epoch
                     self._log(mini_losses, prefix="train")
@@ -232,10 +246,21 @@ class Trainer:
         _, feats = self.model.transform_rollout(graph)
         gt_v, gt_p = valid_dataset.trajectory_targets(
             [m for m, _ in samples], samples[0][1], num_steps)
-        errors, _ = rollout_scan(
+        snapshot_indices = [i for i in self.config.rollout.snapshot_indices
+                            if i < num_steps]
+        errors, fields = rollout_scan(
             self.model, state.variables, graph, feats, gt_v, gt_p,
-            RolloutConfig(num_steps=num_steps))
-        scalars, _evo = error_summary(errors, valid_dataset.sim_ids())
+            RolloutConfig(num_steps=num_steps,
+                          save_fields=bool(snapshot_indices)))
+        scalars, evo = error_summary(errors, valid_dataset.sim_ids())
+        if self.logger is not None:
+            self.logger.save_plots(evo, step=self.mini_epoch_count,
+                                   prefix="rollout")
+            if snapshot_indices:
+                self.logger.save_snapshot(
+                    self._snapshot_payload(fields, valid_dataset,
+                                           snapshot_indices),
+                    step=self.mini_epoch_count, prefix="rollout")
         err = scalars["total_mean_error"]
         print(f"\tvalid | e {self.epoch_count:>3} | me "
               f"{self.mini_epoch_count:>5} | s {self.step_count:>6} | t "
@@ -246,6 +271,27 @@ class Trainer:
                 for k, v in st.items():
                     flat[f"{name}/{k}"] = v
         return flat
+
+    def _snapshot_payload(self, fields: Dict, dataset: MeshDataset,
+                          snapshot_indices) -> Dict:
+        """Per-mesh snapshot dicts for Logger.save_snapshot (the analogue of
+        reference ``Rollout._save_snapshot``, rollout.py:225-253)."""
+        import numpy as np
+        Cp = dataset.pad_to["cell"]
+        out = {}
+        cv = np.asarray(fields["cell_velocity"])
+        for ts in snapshot_indices:
+            meshes = {}
+            for b, mesh_id in enumerate(dataset.sim_ids()):
+                traj = dataset.by_id[mesh_id]
+                C = traj.geom["cell_pos"].shape[0]
+                meshes[mesh_id] = {
+                    "field_data": cv[ts, b * Cp: b * Cp + C],
+                    "vertex_pos": traj.geom["vertex_pos"],
+                    "vertex_face": traj.geom["vertex_face"],
+                }
+            out[ts] = meshes
+        return out
 
     def _log(self, values: Dict[str, float], prefix: str):
         if self.logger is not None:

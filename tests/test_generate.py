@@ -76,3 +76,30 @@ def test_conversion_roundtrip(tmp_path):
     trajs = load_dataset(os.path.join(out, "train.h5"))
     assert trajs and trajs[0].fields["cell_velocity"].shape[0] == 5
     assert np.isfinite(trajs[0].fields["cell_velocity"]).all()
+
+
+def test_mesh_refine():
+    from gnn_fluid_dynamics_tpu.generate.mesh_refine import (
+        prolongate_vertex_field, quality_report, refine_uniform)
+    pos, cells, vt = structured_channel_mesh(nx=4, ny=3)
+    pos2, cells2, vt2 = refine_uniform(pos, cells, vt)
+    assert cells2.shape[0] == 4 * cells.shape[0]
+    # total area preserved
+    q1, q2 = quality_report(pos, cells), quality_report(pos2, cells2)
+    a1 = q1["area_median"] * 0 + np.sum(
+        [0.5 * abs(np.cross(pos[c[1]] - pos[c[0]], pos[c[2]] - pos[c[0]]))
+         for c in cells])
+    a2 = np.sum([0.5 * abs(np.cross(pos2[c[1]] - pos2[c[0]],
+                                    pos2[c[2]] - pos2[c[0]])) for c in cells2])
+    np.testing.assert_allclose(a1, a2, rtol=1e-10)
+    # boundary types survive on straight boundary segments
+    eps = 1e-9
+    inflow2 = vt2[np.abs(pos2[:, 0]) < eps]
+    assert (inflow2 != 0).all()
+    # linear field prolongates exactly
+    f = 2 * pos[:, 0] - pos[:, 1]
+    f2 = prolongate_vertex_field(f, pos, cells)
+    np.testing.assert_allclose(f2, 2 * pos2[:, 0] - pos2[:, 1], atol=1e-12)
+    # refined mesh still builds a valid geometry
+    geom = build_geometry(pos2, cells2, vt2, NodeType)
+    assert geom["cell_pos"].shape[0] == cells2.shape[0]

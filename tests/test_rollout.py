@@ -113,3 +113,75 @@ def test_rollout_matches_python_loop():
         np.testing.assert_allclose(np.asarray(errors["velocity_error"][i]),
                                    np.asarray(err), rtol=1e-5, atol=1e-7)
         f = model.update_features(sol, f, g)
+
+
+def test_bundled_rollout_fvgnc():
+    """FvgnC (temporal bundling k=2): the scan runs k sub-steps per forward
+    and errors interleave back to a flat time axis (reference
+    rollout.py:317-335)."""
+    import jax.numpy as jnp
+    from gnn_fluid_dynamics_tpu.data.pipeline import compute_window
+    trajs = []
+    from gnn_fluid_dynamics_tpu.data.synthetic import (make_geometry,
+                                                       taylor_green_trajectory)
+    for i in range(2):
+        geom = make_geometry("structured", nx=6, ny=4)
+        fields = taylor_green_trajectory(geom, num_timesteps=16, dt=0.01)
+        trajs.append(Trajectory(mesh_id=f"mesh_{i}", geom=geom, fields=fields))
+    stride, window = compute_window(1, None, 2, mode="rollout")
+    ds = MeshDataset(trajs, stride=stride, data_window=window, pad_multiple=32)
+
+    cls = get_model_class("FvgnC")
+    from gnn_fluid_dynamics_tpu.models.base import ModelConfig, feature_masks
+    model = cls(ModelConfig(name="FvgnC", hidden_width=16, mp_num=1,
+                            bundle_size=2),
+                loss_weights={"continuity": 1, "cell_velocity_change": 1,
+                              "face_velocity": 1, "face_pressure": 1})
+    g = ds.get_batch(rollout_batch(ds))
+    _, feats = model.transform_features(g, None, mode="rollout")
+    acc = StatsAccumulator(model.nmap)
+    acc.update(feats, feature_masks(g, feats))
+    model.set_stats(acc.finalize())
+    variables = model.init(jax.random.PRNGKey(0), g, feats)
+
+    gt_v, gt_p = ds.trajectory_targets(ds.sim_ids(), 0, 6)
+    # bundled targets: trajectory_targets uses stride=2, so row i is
+    # t0+(i+1)*2 — rebuild per-substep gt at stride 1 for the error axis
+    ds1 = MeshDataset(trajs, stride=1, data_window=window, pad_multiple=32)
+    gt_v1, gt_p1 = ds1.trajectory_targets(ds1.sim_ids(), 0, 6)
+    errors, fields = rollout_scan(model, variables, g, feats, gt_v1, gt_p1,
+                                  RolloutConfig(num_steps=6, save_fields=True))
+    assert errors["velocity_error"].shape == (6, 2)
+    assert np.isfinite(np.asarray(errors["velocity_error"])).all()
+    assert fields["cell_velocity"].shape[0] == 6
+
+
+def test_model_loading_flexible():
+    from gnn_fluid_dynamics_tpu.training.model_loading import (
+        backward_compatibility, load_params_flexible)
+    import jax.numpy as jnp
+    target = {"encoder": {"kernel": jnp.zeros((4, 8)), "bias": jnp.zeros(8)},
+              "decoder_face": {"kernel": jnp.zeros((8, 2))}}
+    restored = {"encoder": {"kernel": np.ones((4, 8)),
+                            "bias": np.ones(3)},           # shape mismatch
+                "decoder": {"kernel": np.ones((8, 2))},    # legacy name
+                "stray": {"x": np.ones(1)}}                # unexpected
+    merged, skipped = load_params_flexible(target, restored)
+    np.testing.assert_allclose(np.asarray(merged["encoder"]["kernel"]), 1.0)
+    np.testing.assert_allclose(np.asarray(merged["encoder"]["bias"]), 0.0)
+    np.testing.assert_allclose(
+        np.asarray(merged["decoder_face"]["kernel"]), 1.0)
+    assert any("bias" in s for s in skipped)
+    assert any("stray" in s for s in skipped)
+
+
+def test_profiling_utils():
+    from gnn_fluid_dynamics_tpu.training.profiling import (StepTimer,
+                                                           device_memory_stats)
+    import jax.numpy as jnp
+    t = StepTimer()
+    x = jnp.ones((8, 8))
+    with t.section("op", sync=x):
+        y = x * 2
+    assert t.mean("op") >= 0
+    assert isinstance(device_memory_stats(), dict)
