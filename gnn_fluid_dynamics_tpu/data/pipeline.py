@@ -74,7 +74,8 @@ class MeshDataset:
                  timestep_range: Optional[Tuple[int, int]] = None,
                  pad_multiple: int = 128,
                  with_incidence: bool = False,
-                 with_banded: bool = False):
+                 with_banded: bool = False,
+                 num_buckets: int = 1):
         assert trajectories
         self.trajectories = list(trajectories)
         self.by_id = {t.mesh_id: t for t in self.trajectories}
@@ -90,6 +91,26 @@ class MeshDataset:
             m = max(pad_multiple, 1)
             return ((n + m - 1) // m) * m
 
+        # size bucketing (SURVEY.md §7 "hard parts"): meshes grouped by cell
+        # count into num_buckets padded shapes so jit caches stay small while
+        # padding waste shrinks on heterogeneous datasets
+        num_buckets = min(num_buckets, len(self.trajectories))
+        sizes = np.array([t.geom["cell_pos"].shape[0]
+                          for t in self.trajectories])
+        order = np.argsort(sizes, kind="stable")
+        splits = np.array_split(order, max(num_buckets, 1))
+        self.bucket_of: Dict[str, int] = {}
+        self.bucket_pad: List[Dict[str, int]] = []
+        for b, idxs in enumerate(splits):
+            members = [self.trajectories[i] for i in idxs]
+            self.bucket_pad.append({
+                "cell": rup(max(t.geom["cell_pos"].shape[0] for t in members)),
+                "face": rup(max(t.geom["face_pos"].shape[0] for t in members)),
+                "vertex": rup(max(t.geom["vertex_pos"].shape[0] for t in members)),
+            })
+            for t in members:
+                self.bucket_of[t.mesh_id] = b
+        # single-bucket view kept for rollout-style all-mesh batches
         self.pad_to = {
             "cell": rup(max(t.geom["cell_pos"].shape[0] for t in self.trajectories)),
             "face": rup(max(t.geom["face_pos"].shape[0] for t in self.trajectories)),
@@ -121,31 +142,40 @@ class MeshDataset:
         return [t.mesh_id for t in self.trajectories]
 
     # ---- static geometry ---------------------------------------------------
-    def _static_graph(self, mesh_id: str) -> MeshGraph:
-        if mesh_id not in self._static_graphs:
+    def _pad_for(self, mesh_ids) -> Dict[str, int]:
+        buckets = {self.bucket_of[m] for m in mesh_ids}
+        if len(buckets) == 1:
+            return self.bucket_pad[buckets.pop()]
+        return self.pad_to
+
+    def _static_graph(self, mesh_id: str, pad: Dict[str, int]) -> MeshGraph:
+        key = (mesh_id, pad["cell"], pad["face"], pad["vertex"])
+        if key not in self._static_graphs:
             t = self.by_id[mesh_id]
-            self._static_graphs[mesh_id] = from_geometry(
+            self._static_graphs[key] = from_geometry(
                 t.geom, fields=t.grad_weights, dt=t.dt * self.stride,
-                reynolds=t.reynolds, pad_to=self.pad_to,
+                reynolds=t.reynolds, pad_to=pad,
                 with_incidence=self.with_incidence,
                 with_banded=self.with_banded)
-        return self._static_graphs[mesh_id]
+        return self._static_graphs[key]
 
     def _batched_static(self, mesh_ids: Tuple[str, ...]) -> MeshGraph:
         if mesh_ids not in self._batched_cache:
+            pad = self._pad_for(mesh_ids)
             self._batched_cache[mesh_ids] = batch_graphs(
-                [self._static_graph(m) for m in mesh_ids])
+                [self._static_graph(m, pad) for m in mesh_ids])
         return self._batched_cache[mesh_ids]
 
     # ---- field windows -----------------------------------------------------
-    def _window(self, mesh_id: str, ts: int) -> Dict[str, np.ndarray]:
+    def _window(self, mesh_id: str, ts: int,
+                pad: Dict[str, int]) -> Dict[str, np.ndarray]:
         t = self.by_id[mesh_id]
         out = {}
         for key in FIELD_KEYS:
             if key not in t.fields:
                 continue
             arr = t.fields[key][ts:ts + self.data_window]       # (W, N, D)
-            npad = self.pad_to["cell" if key.startswith("cell") else "face"]
+            npad = pad["cell" if key.startswith("cell") else "face"]
             x = np.transpose(arr, (1, 0, 2))                    # (N, W, D)
             if x.shape[0] < npad:
                 x = np.pad(x, ((0, npad - x.shape[0]), (0, 0), (0, 0)))
@@ -156,7 +186,8 @@ class MeshDataset:
         """Assemble one batched MeshGraph for [(mesh_id, ts), ...]."""
         mesh_ids = tuple(m for m, _ in samples)
         g = self._batched_static(mesh_ids)
-        winds = [self._window(m, ts) for m, ts in samples]
+        pad = self._pad_for(mesh_ids)
+        winds = [self._window(m, ts, pad) for m, ts in samples]
         updates = {}
         for key in FIELD_KEYS:
             if key in winds[0]:
@@ -176,7 +207,7 @@ class MeshDataset:
         """(T, sum_C, 2) cell velocity + (T, sum_C, 1) pressure ground truth,
         padded/batched to match a ``get_batch`` graph; row i == state at
         t0 + (i+1)*stride."""
-        Cp = self.pad_to["cell"]
+        Cp = self._pad_for(mesh_ids)["cell"]
         vs, ps = [], []
         for i in range(num_steps):
             ts = t0 + (i + 1) * self.stride
@@ -209,10 +240,45 @@ class MeshDataset:
 
 
 def train_batches(dataset: MeshDataset, batch_size: int, rng: np.random.Generator):
-    """Yield shuffled training batches of (mesh_id, ts) samples (drop last)."""
-    order = rng.permutation(len(dataset))
-    for i in range(0, len(order) - batch_size + 1, batch_size):
-        yield [dataset.sample_map[j] for j in order[i:i + batch_size]]
+    """Yield shuffled training batches of (mesh_id, ts) samples (drop last).
+    With size bucketing, every batch stays within one bucket (one jit shape
+    per bucket) and bucket order is shuffled."""
+    by_bucket: Dict[int, list] = {}
+    for sample in dataset.sample_map:
+        by_bucket.setdefault(dataset.bucket_of[sample[0]], []).append(sample)
+    batches = []
+    for samples in by_bucket.values():
+        order = rng.permutation(len(samples))
+        for i in range(0, len(order) - batch_size + 1, batch_size):
+            batches.append([samples[j] for j in order[i:i + batch_size]])
+    for i in rng.permutation(len(batches)):
+        yield batches[i]
+
+
+def prefetch(batch_iter, dataset: MeshDataset, size: int = 2):
+    """Double-buffered host->device prefetch (SURVEY.md §7): a background
+    thread assembles + transfers the next batches while the device computes
+    the current one. Yields MeshGraph batches."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    SENTINEL = object()
+
+    def worker():
+        try:
+            for samples in batch_iter:
+                q.put(dataset.get_batch(samples))
+        finally:
+            q.put(SENTINEL)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is SENTINEL:
+            break
+        yield item
 
 
 def rollout_batch(dataset: MeshDataset, t0: Optional[int] = None):

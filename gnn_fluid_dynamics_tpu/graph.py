@@ -98,6 +98,9 @@ class MeshGraph:
     vc_onehot: jax.Array = None             # (Tc, 128, Bvc) vertex->cell (1/3)
     cf_row_onehot: jax.Array = None         # (Tf, 128, Bcf) owner selector
     cf_col_onehot: jax.Array = None         # (Tf, 128, Bcf) neighbour selector
+    hv_q: jax.Array = None                  # (Tv,) int32 per-tile chunk start
+    vc_q: jax.Array = None                  # (Tc,)
+    cf_q: jax.Array = None                  # (Tf,)
     hv_start: tuple = struct.field(pytree_node=False, default=None)
     vc_start: tuple = struct.field(pytree_node=False, default=None)
     cf_start: tuple = struct.field(pytree_node=False, default=None)
@@ -285,9 +288,16 @@ def from_geometry(
         kwargs["vc_onehot"] = jnp.asarray(tables.vc_onehot)
         kwargs["cf_row_onehot"] = jnp.asarray(tables.cf_row_onehot)
         kwargs["cf_col_onehot"] = jnp.asarray(tables.cf_col_onehot)
-        kwargs["hv_start"] = tuple(int(x) for x in tables.hv_start)
-        kwargs["vc_start"] = tuple(int(x) for x in tables.vc_start)
-        kwargs["cf_start"] = tuple(int(x) for x in tables.cf_start)
+        kwargs["hv_q"] = jnp.asarray(tables.hv_q)
+        kwargs["vc_q"] = jnp.asarray(tables.vc_q)
+        kwargs["cf_q"] = jnp.asarray(tables.cf_q)
+        # static spec: (stride, k, tiles_per_graph, sources_per_graph, n)
+        kwargs["hv_start"] = (*map(int, tables.hv_spec),
+                              tables.hv_onehot.shape[0], 2 * Fp, 1)
+        kwargs["vc_start"] = (*map(int, tables.vc_spec),
+                              tables.vc_onehot.shape[0], Vp, 1)
+        kwargs["cf_start"] = (*map(int, tables.cf_spec),
+                              tables.cf_row_onehot.shape[0], Cp, 1)
     return MeshGraph(**kwargs)
 
 
@@ -342,7 +352,8 @@ def batch_graphs(graphs) -> MeshGraph:
     for key in ("cell_velocity", "cell_pressure", "face_velocity",
                 "face_pressure", "face_flux", "cell_grad_weights",
                 "face_grad_weights", "vertex_inc_half", "vertex_inc_valid",
-                "hv_onehot", "vc_onehot", "cf_row_onehot", "cf_col_onehot"):
+                "hv_onehot", "vc_onehot", "cf_row_onehot", "cf_col_onehot",
+                "hv_q", "vc_q", "cf_q"):
         vals = [getattr(g, key) for g in graphs]
         kwargs[key] = None if vals[0] is None else cat(vals)
     for key, per in (("cell_grad_neighbours", C), ("face_grad_neighbours", F),
@@ -350,11 +361,10 @@ def batch_graphs(graphs) -> MeshGraph:
         vals = [getattr(g, key) for g in graphs]
         kwargs[key] = None if vals[0] is None else cat(
             [v + i * per for i, v in enumerate(vals)])
-    # banded band starts are static tuples; sources offset per graph
-    for key, per in (("hv_start", 2 * F), ("vc_start", V), ("cf_start", C)):
+    # banded specs are static (stride, k, Tp, Sp, n): only n changes
+    for key in ("hv_start", "vc_start", "cf_start"):
         vals = [getattr(g, key) for g in graphs]
-        kwargs[key] = None if vals[0] is None else tuple(
-            s + i * per for i, v in enumerate(vals) for s in v)
+        kwargs[key] = None if vals[0] is None else (*vals[0][:4], n)
     return MeshGraph(**kwargs)
 
 

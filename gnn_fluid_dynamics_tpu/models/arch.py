@@ -122,8 +122,8 @@ def aggregate_twice_mp(edge_attr: jax.Array, graph: MeshGraph,
     if aggregation == "banded" and graph.hv_onehot is not None:
         from gnn_fluid_dynamics_tpu.ops.banded import banded_matmul
         hr = edge_attr.reshape(2 * edge_attr.shape[0], H // 2)
-        vtx = banded_matmul(graph.hv_onehot, graph.hv_start, hr)
-        return banded_matmul(graph.vc_onehot, graph.vc_start, vtx)
+        vtx = banded_matmul(graph.hv_onehot, graph.hv_start, graph.hv_q, hr)
+        return banded_matmul(graph.vc_onehot, graph.vc_start, graph.vc_q, vtx)
     if aggregation == "gather" and graph.vertex_inc_edge is not None:
         vtx = seg_ops.aggregate_edges_to_vertices_gather(
             edge_attr, graph.vertex_inc_edge, graph.vertex_inc_half,
@@ -141,12 +141,21 @@ def gather_face_cells(cell_attr: jax.Array, graph: MeshGraph,
     row gathers."""
     if aggregation == "banded" and graph.cf_row_onehot is not None:
         from gnn_fluid_dynamics_tpu.ops.banded import _bands
-        B = graph.cf_row_onehot.shape[2]
-        bands = _bands(cell_attr, graph.cf_start, B)       # (Tf, B, H)
-        x_row = jnp.einsum("tib,tbh->tih", graph.cf_row_onehot,
-                           bands).reshape(-1, cell_attr.shape[1])
-        x_col = jnp.einsum("tib,tbh->tih", graph.cf_col_onehot,
-                           bands).reshape(-1, cell_attr.shape[1])
+        stride, k, Tp, Sp, n = (int(x) for x in graph.cf_start)
+        rows, cols = [], []
+        for g in range(n):
+            bands = _bands(cell_attr[g * Sp:(g + 1) * Sp], stride, k,
+                           graph.cf_q[g * Tp:(g + 1) * Tp])
+            rows.append(jnp.einsum(
+                "tib,tbh->tih", graph.cf_row_onehot[g * Tp:(g + 1) * Tp],
+                bands))
+            cols.append(jnp.einsum(
+                "tib,tbh->tih", graph.cf_col_onehot[g * Tp:(g + 1) * Tp],
+                bands))
+        x_row = (jnp.concatenate(rows) if n > 1 else rows[0]).reshape(
+            -1, cell_attr.shape[1])
+        x_col = (jnp.concatenate(cols) if n > 1 else cols[0]).reshape(
+            -1, cell_attr.shape[1])
         return x_row, x_col
     row, col = graph.cell_edge_index[0], graph.cell_edge_index[1]
     return cell_attr[row], cell_attr[col]

@@ -138,7 +138,11 @@ class FluidModel:
             result, updates = self.module.apply(
                 variables, *inputs, graph, True,
                 rngs=rngs, mutable=["batch_stats"])
-            return result, dict(updates)
+            # normalize to plain nested dicts: a FrozenDict/dict mismatch
+            # between init and apply changes the pytree treedef and forces a
+            # jit retrace every step
+            import flax
+            return result, flax.core.unfreeze(updates)
         result = self.module.apply(variables, *inputs, graph, False,
                                    rngs=rngs, mutable=False)
         return result, {}

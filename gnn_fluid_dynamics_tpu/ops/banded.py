@@ -6,12 +6,18 @@ passing far below MXU rates. After an RCM reordering
 target entities touches only a narrow contiguous *band* of source rows, so
 aggregation becomes
 
-    out[tile] = S[tile] @ src[band_start[tile] : band_start[tile] + B]
+    out[tile] = S[tile] @ band(tile)
 
-— a batch of small dense matmuls on the MXU with static slice starts. ``S``
-holds the 0/1 (or 1/3, or signed) incidence weights; band width ``B`` is a
-compile-time constant per mesh. This turns the three hot gathers of a GN block
-(half-edge->vertex, vertex->cell, cell->face owner/neighbour) into einsums.
+— batched small dense matmuls on the MXU. ``S`` holds the 0/1 (or 1/3)
+incidence weights.
+
+Band construction is **chunk-quantized**: sources are viewed as chunks of
+``stride`` rows; tile ``t``'s band is ``k`` consecutive chunks starting at a
+per-tile chunk index ``q_t``. The chunked view is built from ``k`` shifted
+whole-array reshapes (tiny HLO) and the per-tile selection is ONE gather of
+large contiguous chunks (bandwidth-efficient, unlike row gathers). This keeps
+bands per-tile tight (runtime) with O(k) ops (compile time) — the best of the
+per-tile-slice and uniform-stride designs.
 
 Tables are built offline in numpy and carried in :class:`MeshGraph`.
 """
@@ -33,10 +39,12 @@ def _round_up(x, m):
 
 
 def _build_table(targets_to_sources, num_targets: int, num_sources: int,
-                 weights=None, tile: int = TILE):
-    """Generic banded table: ``targets_to_sources[t]`` lists (source, weight)
-    pairs. Returns (band_start (T,), onehot (T, tile, B)) or None if the band
-    would not be materially narrower than the full source range."""
+                 tile: int = TILE):
+    """Generic chunk-quantized banded table.
+
+    Returns (stride, k, q (T,), onehot (T, tile, k*stride)): tile t covers
+    source rows [q_t*stride, (q_t+k)*stride).
+    """
     Tn = _round_up(max(num_targets, 1), tile) // tile
     lo = np.full(Tn, num_sources, np.int64)
     hi = np.zeros(Tn, np.int64)
@@ -46,34 +54,38 @@ def _build_table(targets_to_sources, num_targets: int, num_sources: int,
             lo[t] = min(lo[t], src)
             hi[t] = max(hi[t], src)
     lo = np.minimum(lo, np.maximum(hi, 0))
-    B = int((hi - lo + 1).max()) if num_targets else 1
-    B = _round_up(max(B, 1), tile)
-    if B >= num_sources:
-        B = _round_up(num_sources, tile)
-    band_start = np.minimum(lo, max(num_sources - B, 0)).astype(np.int32)
+
+    # stride ~ sources per target tile (linear growth after RCM)
+    stride = max(_round_up(max(num_sources // max(Tn, 1), 1), tile), tile)
+    q = lo // stride                                     # per-tile chunk start
+    k = int(np.max((hi - q * stride) // stride + 1)) if num_targets else 1
+    B = k * stride
+    if B >= num_sources + stride:
+        stride, k = _round_up(max(num_sources, 1), tile), 1
+        q = np.zeros(Tn, np.int64)
+        B = stride
     onehot = np.zeros((Tn, tile, B), np.float32)
     for tgt in range(num_targets):
         t, r = divmod(tgt, tile)
         for src, w in targets_to_sources[tgt]:
-            onehot[t, r, src - band_start[t]] += w
-    return band_start, onehot
+            onehot[t, r, src - q[t] * stride] += w
+    return int(stride), int(k), q.astype(np.int32), onehot
 
 
 @dataclasses.dataclass
 class BandedTables:
-    """All banded tables for one mesh (numpy)."""
-    hv_start: np.ndarray      # (Tv,)  half-edge -> vertex
-    hv_onehot: np.ndarray     # (Tv, 128, Bhv)
-    vc_start: np.ndarray      # (Tc,)  vertex -> cell (weights 1/3)
-    vc_onehot: np.ndarray     # (Tc, 128, Bvc)
-    cf_start: np.ndarray      # (Tf,)  cell -> face band (shared row/col)
-    cf_row_onehot: np.ndarray  # (Tf, 128, Bcf) owner selector
-    cf_col_onehot: np.ndarray  # (Tf, 128, Bcf) neighbour selector
-
-    @property
-    def max_band(self) -> int:
-        return max(self.hv_onehot.shape[2], self.vc_onehot.shape[2],
-                   self.cf_row_onehot.shape[2])
+    """All banded tables for one mesh (numpy). Each ``*_spec`` is
+    (stride, k); ``*_q`` the per-tile chunk starts."""
+    hv_spec: tuple            # half-edge -> vertex
+    hv_q: np.ndarray
+    hv_onehot: np.ndarray     # (Tv, 128, k*stride)
+    vc_spec: tuple            # vertex -> cell (weights 1/3)
+    vc_q: np.ndarray
+    vc_onehot: np.ndarray
+    cf_spec: tuple            # cell -> face (shared row/col band)
+    cf_q: np.ndarray
+    cf_row_onehot: np.ndarray
+    cf_col_onehot: np.ndarray
 
 
 def build_banded_tables(geom: Dict[str, np.ndarray],
@@ -89,60 +101,62 @@ def build_banded_tables(geom: Dict[str, np.ndarray],
     for e in range(F):
         t2s[vei[0, e]].append((2 * e, 1.0))
         t2s[vei[1, e]].append((2 * e + 1, 1.0))
-    hv_start, hv_onehot = _build_table(t2s, V, 2 * F, tile=tile)
+    hv_s, hv_k, hv_q, hv_onehot = _build_table(t2s, V, 2 * F, tile=tile)
 
     # vertex -> cell: mean of the 3 vertices
     vface = np.asarray(geom["vertex_face"])
     t2s = [[(int(vface[j, c]), 1.0 / 3.0) for j in range(3)] for c in range(C)]
-    vc_start, vc_onehot = _build_table(t2s, C, V, tile=tile)
+    vc_s, vc_k, vc_q, vc_onehot = _build_table(t2s, C, V, tile=tile)
 
-    # cell -> face: owner (row) and neighbour (col) selectors over one band
+    # cell -> face: owner (row) and neighbour (col) selectors sharing one band
     cei = np.asarray(geom["cell_edge_index"])
-    row_t2s = [[(int(cei[0, f]), 1.0)] for f in range(F)]
-    col_t2s = [[(int(cei[1, f]), 1.0)] for f in range(F)]
-    cf_start_r, cf_row = _build_table(row_t2s, F, C, tile=tile)
-    cf_start_c, cf_col = _build_table(col_t2s, F, C, tile=tile)
-    # unify the two bands so one slice serves both selectors
-    lo = np.minimum(cf_start_r, cf_start_c)
-    Bu = _round_up(int(max(cf_row.shape[2] + (cf_start_r - lo).max(),
-                           cf_col.shape[2] + (cf_start_c - lo).max())), tile)
-    Bu = min(Bu, _round_up(C, tile))
-    lo = np.minimum(lo, max(C - Bu, 0)).astype(np.int32)
+    both = [[(int(cei[0, f]), 1.0), (int(cei[1, f]), 1.0)] for f in range(F)]
+    cf_s, cf_k, cf_q, _ = _build_table(both, F, C, tile=tile)
+    Tf = _round_up(max(F, 1), tile) // tile
+    B = cf_k * cf_s
+    cf_row = np.zeros((Tf, tile, B), np.float32)
+    cf_col = np.zeros((Tf, tile, B), np.float32)
+    for f in range(F):
+        t, r = divmod(f, tile)
+        cf_row[t, r, cei[0, f] - cf_q[t] * cf_s] += 1.0
+        cf_col[t, r, cei[1, f] - cf_q[t] * cf_s] += 1.0
 
-    def shift(onehot, old_start, new_start, B_new):
-        Tn, tl, Bo = onehot.shape
-        out = np.zeros((Tn, tl, B_new), np.float32)
-        for t in range(Tn):
-            off = int(old_start[t] - new_start[t])
-            out[t, :, off:off + Bo] = onehot[t][:, :max(0, min(Bo, B_new - off))] \
-                if off + Bo <= B_new else onehot[t][:, :B_new - off]
-        return out
-
-    cf_row_u = shift(cf_row, cf_start_r, lo, Bu)
-    cf_col_u = shift(cf_col, cf_start_c, lo, Bu)
-
-    return BandedTables(hv_start, hv_onehot, vc_start, vc_onehot,
-                        lo, cf_row_u, cf_col_u)
+    return BandedTables((hv_s, hv_k), hv_q, hv_onehot,
+                        (vc_s, vc_k), vc_q, vc_onehot,
+                        (cf_s, cf_k), cf_q, cf_row, cf_col)
 
 
 # ---------------------------------------------------------------------------
 # jittable application
 # ---------------------------------------------------------------------------
 
-def _bands(src: jax.Array, starts, B: int) -> jax.Array:
-    """Stack static-start slices: (T, B, H). Starts are Python ints at trace
-    time (numpy array), so XLA sees static slices."""
-    return jnp.stack([
-        jax.lax.dynamic_slice(src, (int(s), 0), (B, src.shape[1]))
-        for s in np.asarray(starts)])
+def _bands(src: jax.Array, stride: int, k: int, q: jax.Array) -> jax.Array:
+    """Per-tile chunk-quantized bands: bands[t] = src[q_t*stride :
+    (q_t+k)*stride] as (T, k*stride, H). Built by one chunk gather over the
+    shifted-chunk view (k shifted slices of the whole array)."""
+    H = src.shape[1]
+    n_chunks = -(-src.shape[0] // stride)
+    pad_len = (n_chunks + k) * stride - src.shape[0]
+    padded = jnp.pad(src, ((0, max(pad_len, 0)), (0, 0)))
+    chunked = padded[: (n_chunks + k) * stride].reshape(-1, stride, H)
+    windows = jnp.concatenate([chunked[j: j + n_chunks] for j in range(k)],
+                              axis=1)                     # (n_chunks, k*s, H)
+    return windows[q]                                     # (T, k*stride, H)
 
 
-def banded_matmul(onehot: jax.Array, starts, src: jax.Array) -> jax.Array:
-    """out[t*tile + i] = sum_b onehot[t, i, b] * src[starts[t] + b].
+def banded_matmul(onehot: jax.Array, spec, q: jax.Array,
+                  src: jax.Array) -> jax.Array:
+    """out[g, t*tile + i] = sum_b onehot[g*Tp+t, i, b] * src_g[q_t*stride + b].
 
-    onehot: (T, tile, B); src: (N_src, H) -> (T*tile, H).
+    ``spec`` = (stride, k, tiles_per_graph, sources_per_graph, num_graphs);
+    per-graph application keeps chunk indices local under batching.
     """
-    B = onehot.shape[2]
-    bands = _bands(src, starts, B)
-    out = jnp.einsum("tib,tbh->tih", onehot, bands)
+    stride, k, Tp, Sp, n = (int(x) for x in spec)
+    outs = []
+    for g in range(n):
+        bands = _bands(src[g * Sp: (g + 1) * Sp], stride, k,
+                       q[g * Tp: (g + 1) * Tp])
+        oh = onehot[g * Tp: (g + 1) * Tp]
+        outs.append(jnp.einsum("tib,tbh->tih", oh, bands))
+    out = jnp.concatenate(outs) if n > 1 else outs[0]
     return out.reshape(-1, src.shape[1])

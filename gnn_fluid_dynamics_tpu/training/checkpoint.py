@@ -60,6 +60,9 @@ class Checkpointer:
         stats = getattr(trainer.model, "stats", None)
         if stats is not None:
             meta["stats"] = jax.tree.map(float, stats)
+        wandb = getattr(getattr(trainer, "logger", None), "wandb", None)
+        if wandb is not None:
+            meta["wandb_id"] = wandb.id
         self._write(path, state, meta)
         self._point(os.path.join(self.directory, "latest"), tag)
 

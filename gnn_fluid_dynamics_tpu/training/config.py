@@ -49,6 +49,8 @@ class DatasetConfig:
     stats_fpath: Optional[str] = None
     grad_weights_recompute: bool = False
     shuffle: bool = True
+    # TPU-native extras
+    num_buckets: int = 1               # size-bucketed padding groups
 
 
 @dataclass
@@ -76,6 +78,8 @@ class SettingsConfig:
     num_devices: Optional[int] = None
     pin_memory: bool = True            # no-op on TPU; kept for parity
     random_seed: int = 0
+    debug_nans: bool = False           # jax_debug_nans (the TPU-native
+    #                                    analogue of torch detect_anomaly)
 
 
 @dataclass

@@ -70,7 +70,8 @@ def build_datasets(config, model_cls):
                            timestep_range=timestep_range,
                            pad_multiple=config.training.pad_multiple,
                            with_incidence=config.model.aggregation == "gather",
-                           with_banded=config.model.aggregation == "banded")
+                           with_banded=config.model.aggregation == "banded",
+                           num_buckets=config.dataset.num_buckets)
 
     train_ds = load(config.training.data_subset,
                     config.training.data_sim_limit,
@@ -148,6 +149,8 @@ def main(argv: Optional[List[str]] = None):
     config = load_config(args.config)
     if args.debug:
         config.logging.is_debug = True
+    if config.settings.debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     ckpt_dir = args.ckpt_dir or os.path.join(
         "checkpoints", config.logging.project or "default",
@@ -156,10 +159,12 @@ def main(argv: Optional[List[str]] = None):
                                 save_overwrite=config.logging.save_overwrite)
 
     resume_meta = None
+    resume_wandb_id = None
     if args.resume:
         _, resume_meta = checkpointer.load(args.resume)
         if resume_meta is not None:
             config = merge_checkpoint_config(config, resume_meta["config"])
+            resume_wandb_id = resume_meta.get("wandb_id")
             print(f"Resuming from {args.resume} "
                   f"(mini_epoch {resume_meta['mini_epoch']})")
 
@@ -191,7 +196,7 @@ def main(argv: Optional[List[str]] = None):
 
     logger = None
     if not config.logging.is_debug:
-        logger = Logger(config)
+        logger = Logger(config, resume_wandb_id=resume_wandb_id)
         logger.set_norm_stats(stats)
 
     trainer = Trainer(config, model, logger=logger, checkpointer=checkpointer)

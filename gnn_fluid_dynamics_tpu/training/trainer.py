@@ -68,6 +68,10 @@ def _set_lr(opt_state, lr):
             return s._replace(hyperparams={**s.hyperparams,
                                            "learning_rate": lr})
         if isinstance(s, tuple) and not hasattr(s, "hyperparams"):
+            # preserve NamedTuple subclasses (optax states) — converting them
+            # to plain tuples changes the pytree treedef and forces retraces
+            if hasattr(s, "_fields"):
+                return type(s)(*(visit(x) for x in s))
             return tuple(visit(x) for x in s)
         return s
     return visit(opt_state)
@@ -96,7 +100,8 @@ class Trainer:
     # ---- state --------------------------------------------------------------
     def init_state(self, rng: jax.Array, graph: MeshGraph, feats: Dict
                    ) -> TrainState:
-        variables = self.model.init(rng, graph, feats)
+        import flax
+        variables = flax.core.unfreeze(self.model.init(rng, graph, feats))
         params = variables["params"]
         return TrainState(
             params=params,
@@ -185,12 +190,15 @@ class Trainer:
 
         mini_losses: Dict[str, float] = {}
         me_start = time.time()
+        from gnn_fluid_dynamics_tpu.data.pipeline import prefetch
         for _ in range(t.epochs - self.epoch_count):
             self.epoch_count += 1
-            for samples in train_batches(train_dataset, t.batch_size, np_rng):
-                graph = train_dataset.get_batch(samples)
+            batch_iter = prefetch(
+                train_batches(train_dataset, t.batch_size, np_rng),
+                train_dataset, size=t.prefetch_buffer)
+            for graph in batch_iter:
                 self.step_count += 1
-                self.sample_count += len(samples)
+                self.sample_count += graph.num_graphs
                 lr = schedule(self.mini_epoch_count)
                 state, losses = self.train_step(state, graph, lr)
                 for k, v in losses.items():
@@ -248,10 +256,19 @@ class Trainer:
             [m for m, _ in samples], samples[0][1], num_steps)
         snapshot_indices = [i for i in self.config.rollout.snapshot_indices
                             if i < num_steps]
-        errors, fields = rollout_scan(
-            self.model, state.variables, graph, feats, gt_v, gt_p,
-            RolloutConfig(num_steps=num_steps,
-                          save_fields=bool(snapshot_indices)))
+        # cache the jitted validation rollout: re-tracing a 15-block scan per
+        # validation costs seconds even when the XLA compile cache hits
+        key = (num_steps, bool(snapshot_indices))
+        if not hasattr(self, "_validate_fns"):
+            self._validate_fns = {}
+        if key not in self._validate_fns:
+            rcfg = RolloutConfig(num_steps=num_steps,
+                                 save_fields=bool(snapshot_indices))
+            self._validate_fns[key] = jax.jit(
+                lambda v, g, f, gv, gp: rollout_scan(
+                    self.model, v, g, f, gv, gp, rcfg))
+        errors, fields = self._validate_fns[key](
+            state.variables, graph, feats, gt_v, gt_p)
         scalars, evo = error_summary(errors, valid_dataset.sim_ids())
         if self.logger is not None:
             self.logger.save_plots(evo, step=self.mini_epoch_count,

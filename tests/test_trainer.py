@@ -116,3 +116,32 @@ def test_train_batches_cover_dataset():
         assert len(batch) == 2
         seen.update(batch)
     assert len(seen) >= len(ds) - 2  # drop-last may skip at most batch-1
+
+
+def test_bucketed_dataset_and_prefetch():
+    """Size bucketing: batches stay within one bucket; padding shrinks for the
+    small bucket; prefetch yields the same number of batches."""
+    from gnn_fluid_dynamics_tpu.data.pipeline import prefetch
+    trajs = []
+    for i, nx in enumerate((4, 4, 12, 12)):
+        geom = make_geometry("structured", nx=nx, ny=4)
+        fields = taylor_green_trajectory(geom, num_timesteps=5, dt=0.01)
+        trajs.append(Trajectory(mesh_id=f"mesh_{i}", geom=geom, fields=fields))
+    ds = MeshDataset(trajs, pad_multiple=16, num_buckets=2)
+    assert len(ds.bucket_pad) == 2
+    assert ds.bucket_pad[0]["cell"] < ds.bucket_pad[1]["cell"]
+    assert ds.bucket_of["mesh_0"] == ds.bucket_of["mesh_1"]
+    assert ds.bucket_of["mesh_0"] != ds.bucket_of["mesh_2"]
+
+    rng = np.random.default_rng(0)
+    batches = list(train_batches(ds, 2, rng))
+    for b in batches:
+        assert len({ds.bucket_of[m] for m, _ in b}) == 1
+    graphs = list(prefetch(iter(batches), ds, size=2))
+    assert len(graphs) == len(batches)
+    sizes = {g.num_cells for g in graphs}
+    assert len(sizes) == 2  # two jit shapes, one per bucket
+
+    # mixed-bucket batch (rollout style) falls back to the global pad
+    g_all = ds.get_batch([(m, 0) for m in ds.sim_ids()])
+    assert g_all.num_cells == 4 * ds.pad_to["cell"]
