@@ -256,6 +256,10 @@ def main(argv=None):
                         default=int(os.environ.get("SLURM_ARRAY_TASK_COUNT", 1)))
     parser.add_argument("--backend", type=str, default="auto",
                         choices=["auto", "openfoam", "builtin"])
+    parser.add_argument("--case-template", type=str, default="laminar_ellipse",
+                        choices=["laminar_ellipse", "taylor_green",
+                                 "turbulent", "manufactured"],
+                        help="OpenFOAM case template under generate/openfoam/")
     args = parser.parse_args(argv)
 
     from gnn_fluid_dynamics_tpu.data.node_types import NodeType
@@ -279,7 +283,9 @@ def main(argv=None):
         geom = build_geometry(mesh["vertex_pos"], mesh["cells"],
                               mesh["vertex_types"], NodeType)
         if backend == "openfoam":
-            run_openfoam_case("generate/openfoam/laminar_ellipse",
+            template = os.path.join(os.path.dirname(__file__), "openfoam",
+                                    args.case_template)
+            run_openfoam_case(template,
                               os.path.join(args.out, case), params, args.steps)
         else:
             fields = simulate_projection(geom, params, args.steps,
