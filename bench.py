@@ -53,7 +53,8 @@ def main():
     traj = Trajectory(mesh_id="mesh_0", geom=geom, fields=fields)
     ds = MeshDataset([traj], pad_multiple=256,
                      with_incidence=args.aggregation == "gather",
-                     with_banded=args.aggregation == "banded")
+                     with_banded=args.aggregation == "banded",
+                     banded_dtype=args.dtype)
 
     loss_weights = {"continuity": 0.0, "cell_velocity_change": 10.0,
                     "cell_pressure": 1.0, "face_velocity": 1.0,
@@ -64,7 +65,8 @@ def main():
                     compute_dtype=args.dtype),
         loss_weights=loss_weights)
 
-    graph = ds.get_batch(rollout_batch(ds))
+    from gnn_fluid_dynamics_tpu.graph import to_static_bands
+    graph = to_static_bands(ds.get_batch(rollout_batch(ds)))
     _, feats = model.transform_rollout(graph)
     acc = StatsAccumulator(model.nmap)
     from gnn_fluid_dynamics_tpu.models.base import feature_masks

@@ -18,7 +18,7 @@ so the pipeline here:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -75,6 +75,7 @@ class MeshDataset:
                  pad_multiple: int = 128,
                  with_incidence: bool = False,
                  with_banded: bool = False,
+                 banded_dtype="float32",
                  num_buckets: int = 1):
         assert trajectories
         self.trajectories = list(trajectories)
@@ -86,6 +87,7 @@ class MeshDataset:
         self.pad_multiple = pad_multiple
         self.with_incidence = with_incidence
         self.with_banded = with_banded
+        self.banded_dtype = banded_dtype
 
         def rup(n):
             m = max(pad_multiple, 1)
@@ -135,6 +137,29 @@ class MeshDataset:
         self._static_graphs: Dict[str, MeshGraph] = {}
         self._batched_cache: Dict[Tuple[str, ...], MeshGraph] = {}
 
+        # banded tables are built eagerly so the dataset-wide maximum band
+        # width is known up front: every graph's tables are padded to it,
+        # making the training jaxpr independent of which meshes share a batch
+        self._tables_cache: Dict[Tuple, Any] = {}
+        self._band_pad: Optional[Dict[str, int]] = None
+        if with_banded:
+            bmax = {"hv": 0, "vc": 0, "cf": 0}
+            for t in self.trajectories:
+                tbl = self._tables_for(
+                    t.mesh_id, self.bucket_pad[self.bucket_of[t.mesh_id]])
+                bmax["hv"] = max(bmax["hv"], tbl.hv_onehot.shape[2])
+                bmax["vc"] = max(bmax["vc"], tbl.vc_onehot.shape[2])
+                bmax["cf"] = max(bmax["cf"], tbl.cf_row_onehot.shape[2])
+            self._band_pad = bmax
+
+    def _tables_for(self, mesh_id: str, pad: Dict[str, int]):
+        from gnn_fluid_dynamics_tpu.graph import banded_tables_for
+        key = (mesh_id, pad["cell"], pad["face"], pad["vertex"])
+        if key not in self._tables_cache:
+            self._tables_cache[key] = banded_tables_for(
+                self.by_id[mesh_id].geom, pad)
+        return self._tables_cache[key]
+
     def __len__(self):
         return len(self.sample_map)
 
@@ -156,7 +181,12 @@ class MeshDataset:
                 t.geom, fields=t.grad_weights, dt=t.dt * self.stride,
                 reynolds=t.reynolds, pad_to=pad,
                 with_incidence=self.with_incidence,
-                with_banded=self.with_banded)
+                with_banded=self.with_banded,
+                banded_dtype=jnp.dtype(self.banded_dtype),
+                banded_static=False,
+                band_pad=self._band_pad,
+                banded_tables=(self._tables_for(mesh_id, pad)
+                               if self.with_banded else None))
         return self._static_graphs[key]
 
     def _batched_static(self, mesh_ids: Tuple[str, ...]) -> MeshGraph:

@@ -98,9 +98,11 @@ class MeshGraph:
     vc_onehot: jax.Array = None             # (Tc, 128, Bvc) vertex->cell (1/3)
     cf_row_onehot: jax.Array = None         # (Tf, 128, Bcf) owner selector
     cf_col_onehot: jax.Array = None         # (Tf, 128, Bcf) neighbour selector
-    hv_q: jax.Array = None                  # (Tv,) int32 per-tile chunk start
-    vc_q: jax.Array = None                  # (Tc,)
-    cf_q: jax.Array = None                  # (Tf,)
+    hv_off: jax.Array = None                # (Tv,) int32 per-tile band start
+    vc_off: jax.Array = None                # (Tc,)
+    cf_off: jax.Array = None                # (Tf,)
+    # static per-graph band specs: one (Tp, Sp[, offsets]) entry per graph in
+    # the batch; offsets embedded => static-slice fast path (rollout)
     hv_start: tuple = struct.field(pytree_node=False, default=None)
     vc_start: tuple = struct.field(pytree_node=False, default=None)
     cf_start: tuple = struct.field(pytree_node=False, default=None)
@@ -148,6 +150,10 @@ def from_geometry(
     dtype=jnp.float32,
     with_incidence: bool = False,
     with_banded: bool = False,
+    banded_dtype=jnp.float32,
+    banded_static: bool = True,
+    band_pad: Optional[Dict[str, int]] = None,
+    banded_tables=None,
     max_degree: int = 0,
 ) -> MeshGraph:
     """Build a (single-graph) MeshGraph from a numpy geometry dict.
@@ -273,32 +279,88 @@ def from_geometry(
         kwargs["vertex_inc_half"] = jnp.asarray(padf(inc.half, Vp).astype(np.int32))
         kwargs["vertex_inc_valid"] = jnp.asarray(padf(inc.valid, Vp).astype(bool))
     if with_banded:
-        from gnn_fluid_dynamics_tpu.ops.banded import build_banded_tables
         assert Cp % 128 == 0 and Fp % 128 == 0 and Vp % 128 == 0, \
             "banded aggregation needs 128-divisible padding"
-        padded_geom = {
-            "vertex_pos": np.zeros((Vp, 2)),
-            "cell_pos": np.zeros((Cp, 2)),
-            "vertex_edge_index": vertex_edge_index,
-            "vertex_face": vertex_face,
-            "cell_edge_index": cell_edge_index,
-        }
-        tables = build_banded_tables(padded_geom)
-        kwargs["hv_onehot"] = jnp.asarray(tables.hv_onehot)
-        kwargs["vc_onehot"] = jnp.asarray(tables.vc_onehot)
-        kwargs["cf_row_onehot"] = jnp.asarray(tables.cf_row_onehot)
-        kwargs["cf_col_onehot"] = jnp.asarray(tables.cf_col_onehot)
-        kwargs["hv_q"] = jnp.asarray(tables.hv_q)
-        kwargs["vc_q"] = jnp.asarray(tables.vc_q)
-        kwargs["cf_q"] = jnp.asarray(tables.cf_q)
-        # static spec: (stride, k, tiles_per_graph, sources_per_graph, n)
-        kwargs["hv_start"] = (*map(int, tables.hv_spec),
-                              tables.hv_onehot.shape[0], 2 * Fp, 1)
-        kwargs["vc_start"] = (*map(int, tables.vc_spec),
-                              tables.vc_onehot.shape[0], Vp, 1)
-        kwargs["cf_start"] = (*map(int, tables.cf_spec),
-                              tables.cf_row_onehot.shape[0], Cp, 1)
+        tables = banded_tables or banded_tables_for(
+            geom, {"cell": Cp, "face": Fp, "vertex": Vp})
+        from gnn_fluid_dynamics_tpu.ops.banded import pad_band_width
+        bp = band_pad or {}
+        # bf16 tables: the 0/1 (and 1/3) weights are cheap to store at half
+        # width, and the tables dominate message-passing HBM traffic
+        for key, oh in (("hv_onehot", tables.hv_onehot),
+                        ("vc_onehot", tables.vc_onehot),
+                        ("cf_row_onehot", tables.cf_row_onehot),
+                        ("cf_col_onehot", tables.cf_col_onehot)):
+            B = bp.get(key.split("_")[0], oh.shape[2])
+            kwargs[key] = jnp.asarray(pad_band_width(oh, B), banded_dtype)
+        # one (tiles, sources[, offsets]) spec entry per graph: offsets are
+        # embedded statically for rollout (fast path) and carried as traced
+        # int32 leaves for training (mesh-combination-independent jaxpr)
+        for pre, off, T, S in (("hv", tables.hv_offsets,
+                                tables.hv_onehot.shape[0], 2 * Fp),
+                               ("vc", tables.vc_offsets,
+                                tables.vc_onehot.shape[0], Vp),
+                               ("cf", tables.cf_offsets,
+                                tables.cf_row_onehot.shape[0], Cp)):
+            kwargs[f"{pre}_off"] = jnp.asarray(off, jnp.int32)
+            kwargs[f"{pre}_start"] = (((T, S, off),) if banded_static
+                                      else ((T, S),))
     return MeshGraph(**kwargs)
+
+
+def banded_tables_for(geom: Dict[str, np.ndarray], pad_to: Dict[str, int]):
+    """Banded aggregation tables for ``geom`` padded to ``pad_to`` sizes —
+    identical padding convention as :func:`from_geometry` (pad entries point
+    at the last slot), so band widths match what the padded graph needs."""
+    from gnn_fluid_dynamics_tpu.ops.banded import build_banded_tables
+    C = geom["cell_pos"].shape[0]
+    F = geom["face_pos"].shape[0]
+    V = geom["vertex_pos"].shape[0]
+    Cp, Fp, Vp = pad_to["cell"], pad_to["face"], pad_to["vertex"]
+
+    def padi(x, n, value):
+        x = np.asarray(x)
+        if x.shape[1] == n:
+            return x
+        return np.pad(x, ((0, 0), (0, n - x.shape[1])),
+                      constant_values=value)
+
+    padded_geom = {
+        "vertex_pos": np.zeros((Vp, 2)),
+        "cell_pos": np.zeros((Cp, 2)),
+        "vertex_edge_index": padi(geom["vertex_edge_index"], Fp,
+                                  Vp - 1 if Vp > V else 0),
+        "vertex_face": padi(geom["vertex_face"], Cp,
+                            Vp - 1 if Vp > V else 0),
+        "cell_edge_index": padi(geom["cell_edge_index"], Fp,
+                                Cp - 1 if Cp > C else 0),
+    }
+    return build_banded_tables(padded_geom)
+
+
+def to_static_bands(graph: MeshGraph) -> MeshGraph:
+    """Bake the banded offsets into the static specs (host-side, one device
+    read) — call once before a rollout so band slices compile to constant
+    DMA copies; leave training graphs dynamic so the jaxpr is independent of
+    the batch's mesh combination."""
+    if graph.hv_start is None or all(len(s) > 2 for s in graph.hv_start):
+        return graph
+    import numpy as np
+
+    def bake(specs, off):
+        off = np.asarray(off)
+        out, to = [], 0
+        for spec in specs:
+            Tp = spec[0]
+            o = spec[2] if len(spec) > 2 else tuple(
+                int(x) for x in off[to: to + Tp])
+            out.append((spec[0], spec[1], o))
+            to += Tp
+        return tuple(out)
+
+    return graph.replace(hv_start=bake(graph.hv_start, graph.hv_off),
+                         vc_start=bake(graph.vc_start, graph.vc_off),
+                         cf_start=bake(graph.cf_start, graph.cf_off))
 
 
 def batch_graphs(graphs) -> MeshGraph:
@@ -352,19 +414,34 @@ def batch_graphs(graphs) -> MeshGraph:
     for key in ("cell_velocity", "cell_pressure", "face_velocity",
                 "face_pressure", "face_flux", "cell_grad_weights",
                 "face_grad_weights", "vertex_inc_half", "vertex_inc_valid",
-                "hv_onehot", "vc_onehot", "cf_row_onehot", "cf_col_onehot",
-                "hv_q", "vc_q", "cf_q"):
+                "hv_off", "vc_off", "cf_off"):
         vals = [getattr(g, key) for g in graphs]
         kwargs[key] = None if vals[0] is None else cat(vals)
+    # banded tables: pad band widths to the batch max, then concatenate tiles;
+    # the per-graph static specs just chain (each keeps its own offsets)
+    for oh_keys, spec_key in ((("hv_onehot",), "hv_start"),
+                              (("vc_onehot",), "vc_start"),
+                              (("cf_row_onehot", "cf_col_onehot"),
+                               "cf_start")):
+        specs = [getattr(g, spec_key) for g in graphs]
+        if specs[0] is None:
+            kwargs[spec_key] = None
+            for key in oh_keys:
+                kwargs[key] = None
+            continue
+        kwargs[spec_key] = tuple(s for spec in specs for s in spec)
+        B = max(getattr(g, oh_keys[0]).shape[2] for g in graphs)
+        for key in oh_keys:
+            vals = [getattr(g, key) for g in graphs]
+            kwargs[key] = cat([
+                v if v.shape[2] == B
+                else jnp.pad(v, ((0, 0), (0, 0), (0, B - v.shape[2])))
+                for v in vals])
     for key, per in (("cell_grad_neighbours", C), ("face_grad_neighbours", F),
                      ("vertex_inc_edge", F)):
         vals = [getattr(g, key) for g in graphs]
         kwargs[key] = None if vals[0] is None else cat(
             [v + i * per for i, v in enumerate(vals)])
-    # banded specs are static (stride, k, Tp, Sp, n): only n changes
-    for key in ("hv_start", "vc_start", "cf_start"):
-        vals = [getattr(g, key) for g in graphs]
-        kwargs[key] = None if vals[0] is None else (*vals[0][:4], n)
     return MeshGraph(**kwargs)
 
 

@@ -122,8 +122,9 @@ def aggregate_twice_mp(edge_attr: jax.Array, graph: MeshGraph,
     if aggregation == "banded" and graph.hv_onehot is not None:
         from gnn_fluid_dynamics_tpu.ops.banded import banded_matmul
         hr = edge_attr.reshape(2 * edge_attr.shape[0], H // 2)
-        vtx = banded_matmul(graph.hv_onehot, graph.hv_start, graph.hv_q, hr)
-        return banded_matmul(graph.vc_onehot, graph.vc_start, graph.vc_q, vtx)
+        vtx = banded_matmul(graph.hv_onehot, graph.hv_start, hr, graph.hv_off)
+        return banded_matmul(graph.vc_onehot, graph.vc_start, vtx,
+                             graph.vc_off)
     if aggregation == "gather" and graph.vertex_inc_edge is not None:
         vtx = seg_ops.aggregate_edges_to_vertices_gather(
             edge_attr, graph.vertex_inc_edge, graph.vertex_inc_half,
@@ -140,22 +141,30 @@ def gather_face_cells(cell_attr: jax.Array, graph: MeshGraph,
     """(x[owner], x[neighbour]) per face — banded einsum when available, else
     row gathers."""
     if aggregation == "banded" and graph.cf_row_onehot is not None:
-        from gnn_fluid_dynamics_tpu.ops.banded import _bands
-        stride, k, Tp, Sp, n = (int(x) for x in graph.cf_start)
+        from gnn_fluid_dynamics_tpu.ops.banded import _bands, _bands_dynamic
+        B = graph.cf_row_onehot.shape[2]
+        cell_attr_b = cell_attr.astype(graph.cf_row_onehot.dtype)
         rows, cols = [], []
-        for g in range(n):
-            bands = _bands(cell_attr[g * Sp:(g + 1) * Sp], stride, k,
-                           graph.cf_q[g * Tp:(g + 1) * Tp])
+        to = so = 0
+        for spec in graph.cf_start:
+            Tp, Sp = spec[0], spec[1]
+            if len(spec) > 2:
+                bands = _bands(cell_attr_b[so: so + Sp], B, spec[2])
+            else:
+                bands = _bands_dynamic(cell_attr_b[so: so + Sp], B,
+                                       graph.cf_off[to: to + Tp])
             rows.append(jnp.einsum(
-                "tib,tbh->tih", graph.cf_row_onehot[g * Tp:(g + 1) * Tp],
-                bands))
+                "tib,tbh->tih", graph.cf_row_onehot[to: to + Tp],
+                bands, preferred_element_type=jnp.float32))
             cols.append(jnp.einsum(
-                "tib,tbh->tih", graph.cf_col_onehot[g * Tp:(g + 1) * Tp],
-                bands))
-        x_row = (jnp.concatenate(rows) if n > 1 else rows[0]).reshape(
-            -1, cell_attr.shape[1])
-        x_col = (jnp.concatenate(cols) if n > 1 else cols[0]).reshape(
-            -1, cell_attr.shape[1])
+                "tib,tbh->tih", graph.cf_col_onehot[to: to + Tp],
+                bands, preferred_element_type=jnp.float32))
+            to += Tp
+            so += Sp
+        x_row = (jnp.concatenate(rows) if len(rows) > 1
+                 else rows[0]).reshape(-1, cell_attr.shape[1])
+        x_col = (jnp.concatenate(cols) if len(cols) > 1
+                 else cols[0]).reshape(-1, cell_attr.shape[1])
         return x_row, x_col
     row, col = graph.cell_edge_index[0], graph.cell_edge_index[1]
     return cell_attr[row], cell_attr[col]

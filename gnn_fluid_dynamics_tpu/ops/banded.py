@@ -11,13 +11,13 @@ aggregation becomes
 — batched small dense matmuls on the MXU. ``S`` holds the 0/1 (or 1/3)
 incidence weights.
 
-Band construction is **chunk-quantized**: sources are viewed as chunks of
-``stride`` rows; tile ``t``'s band is ``k`` consecutive chunks starting at a
-per-tile chunk index ``q_t``. The chunked view is built from ``k`` shifted
-whole-array reshapes (tiny HLO) and the per-tile selection is ONE gather of
-large contiguous chunks (bandwidth-efficient, unlike row gathers). This keeps
-bands per-tile tight (runtime) with O(k) ops (compile time) — the best of the
-per-tile-slice and uniform-stride designs.
+Band *starts* are static per tile: bands are built as a stack of
+``lax.slice``-es at compile-time-constant offsets (pure DMA copies — measured
+~2.5x faster than any gather formulation on v5e), then ONE batched einsum
+applies the whole table. The per-tile offsets live in the MeshGraph as static
+(non-pytree) tuples so XLA sees constant slice bounds; the one-hot weights are
+a single (T, tile, B) leaf with a uniform band width B = max tile width
+rounded to 128.
 
 Tables are built offline in numpy and carried in :class:`MeshGraph`.
 """
@@ -25,7 +25,7 @@ Tables are built offline in numpy and carried in :class:`MeshGraph`.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Optional
+from typing import Dict, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,10 +40,10 @@ def _round_up(x, m):
 
 def _build_table(targets_to_sources, num_targets: int, num_sources: int,
                  tile: int = TILE):
-    """Generic chunk-quantized banded table.
+    """Generic banded table with static per-tile offsets.
 
-    Returns (stride, k, q (T,), onehot (T, tile, k*stride)): tile t covers
-    source rows [q_t*stride, (q_t+k)*stride).
+    Returns (offsets (T,) python ints, onehot (T, tile, B)): tile t covers
+    source rows [offsets[t], offsets[t] + B).
     """
     Tn = _round_up(max(num_targets, 1), tile) // tile
     lo = np.full(Tn, num_sources, np.int64)
@@ -55,35 +55,28 @@ def _build_table(targets_to_sources, num_targets: int, num_sources: int,
             hi[t] = max(hi[t], src)
     lo = np.minimum(lo, np.maximum(hi, 0))
 
-    # stride ~ sources per target tile (linear growth after RCM)
-    stride = max(_round_up(max(num_sources // max(Tn, 1), 1), tile), tile)
-    q = lo // stride                                     # per-tile chunk start
-    k = int(np.max((hi - q * stride) // stride + 1)) if num_targets else 1
-    B = k * stride
-    if B >= num_sources + stride:
-        stride, k = _round_up(max(num_sources, 1), tile), 1
-        q = np.zeros(Tn, np.int64)
-        B = stride
+    # uniform band width = widest tile, rounded to a lane-friendly multiple;
+    # 8-row-aligned offsets keep the slice DMAs sublane-aligned
+    width = int(np.max(hi - lo + 1)) if num_targets else 1
+    B = _round_up(max(width, 1), 128)
+    offsets = (lo // 8) * 8
     onehot = np.zeros((Tn, tile, B), np.float32)
     for tgt in range(num_targets):
         t, r = divmod(tgt, tile)
         for src, w in targets_to_sources[tgt]:
-            onehot[t, r, src - q[t] * stride] += w
-    return int(stride), int(k), q.astype(np.int32), onehot
+            onehot[t, r, src - offsets[t]] += w
+    return tuple(int(o) for o in offsets), onehot
 
 
 @dataclasses.dataclass
 class BandedTables:
-    """All banded tables for one mesh (numpy). Each ``*_spec`` is
-    (stride, k); ``*_q`` the per-tile chunk starts."""
-    hv_spec: tuple            # half-edge -> vertex
-    hv_q: np.ndarray
-    hv_onehot: np.ndarray     # (Tv, 128, k*stride)
-    vc_spec: tuple            # vertex -> cell (weights 1/3)
-    vc_q: np.ndarray
+    """All banded tables for one mesh (numpy). ``*_offsets`` are static
+    per-tile band start rows."""
+    hv_offsets: tuple         # half-edge -> vertex
+    hv_onehot: np.ndarray     # (Tv, 128, Bhv)
+    vc_offsets: tuple         # vertex -> cell (weights 1/3)
     vc_onehot: np.ndarray
-    cf_spec: tuple            # cell -> face (shared row/col band)
-    cf_q: np.ndarray
+    cf_offsets: tuple         # cell -> face (shared row/col band)
     cf_row_onehot: np.ndarray
     cf_col_onehot: np.ndarray
 
@@ -101,62 +94,90 @@ def build_banded_tables(geom: Dict[str, np.ndarray],
     for e in range(F):
         t2s[vei[0, e]].append((2 * e, 1.0))
         t2s[vei[1, e]].append((2 * e + 1, 1.0))
-    hv_s, hv_k, hv_q, hv_onehot = _build_table(t2s, V, 2 * F, tile=tile)
+    hv_off, hv_onehot = _build_table(t2s, V, 2 * F, tile=tile)
 
     # vertex -> cell: mean of the 3 vertices
     vface = np.asarray(geom["vertex_face"])
     t2s = [[(int(vface[j, c]), 1.0 / 3.0) for j in range(3)] for c in range(C)]
-    vc_s, vc_k, vc_q, vc_onehot = _build_table(t2s, C, V, tile=tile)
+    vc_off, vc_onehot = _build_table(t2s, C, V, tile=tile)
 
     # cell -> face: owner (row) and neighbour (col) selectors sharing one band
     cei = np.asarray(geom["cell_edge_index"])
     both = [[(int(cei[0, f]), 1.0), (int(cei[1, f]), 1.0)] for f in range(F)]
-    cf_s, cf_k, cf_q, _ = _build_table(both, F, C, tile=tile)
-    Tf = _round_up(max(F, 1), tile) // tile
-    B = cf_k * cf_s
+    cf_off, cf_probe = _build_table(both, F, C, tile=tile)
+    Tf, B = cf_probe.shape[0], cf_probe.shape[2]
     cf_row = np.zeros((Tf, tile, B), np.float32)
     cf_col = np.zeros((Tf, tile, B), np.float32)
     for f in range(F):
         t, r = divmod(f, tile)
-        cf_row[t, r, cei[0, f] - cf_q[t] * cf_s] += 1.0
-        cf_col[t, r, cei[1, f] - cf_q[t] * cf_s] += 1.0
+        cf_row[t, r, cei[0, f] - cf_off[t]] += 1.0
+        cf_col[t, r, cei[1, f] - cf_off[t]] += 1.0
 
-    return BandedTables((hv_s, hv_k), hv_q, hv_onehot,
-                        (vc_s, vc_k), vc_q, vc_onehot,
-                        (cf_s, cf_k), cf_q, cf_row, cf_col)
+    return BandedTables(hv_off, hv_onehot, vc_off, vc_onehot,
+                        cf_off, cf_row, cf_col)
 
 
 # ---------------------------------------------------------------------------
 # jittable application
 # ---------------------------------------------------------------------------
 
-def _bands(src: jax.Array, stride: int, k: int, q: jax.Array) -> jax.Array:
-    """Per-tile chunk-quantized bands: bands[t] = src[q_t*stride :
-    (q_t+k)*stride] as (T, k*stride, H). Built by one chunk gather over the
-    shifted-chunk view (k shifted slices of the whole array)."""
-    H = src.shape[1]
-    n_chunks = -(-src.shape[0] // stride)
-    pad_len = (n_chunks + k) * stride - src.shape[0]
-    padded = jnp.pad(src, ((0, max(pad_len, 0)), (0, 0)))
-    chunked = padded[: (n_chunks + k) * stride].reshape(-1, stride, H)
-    windows = jnp.concatenate([chunked[j: j + n_chunks] for j in range(k)],
-                              axis=1)                     # (n_chunks, k*s, H)
-    return windows[q]                                     # (T, k*stride, H)
+def _bands(src: jax.Array, B: int, offsets: Sequence[int]) -> jax.Array:
+    """bands[t] = src[offsets[t] : offsets[t]+B] as (T, B, H), built from T
+    static-offset slices (DMA copies, no gather)."""
+    need = max(o + B for o in offsets)
+    pad_len = max(need - src.shape[0], 0)
+    p = jnp.pad(src, ((0, pad_len), (0, 0)))
+    return jnp.stack([jax.lax.slice(p, (o, 0), (o + B, p.shape[1]))
+                      for o in offsets])
 
 
-def banded_matmul(onehot: jax.Array, spec, q: jax.Array,
-                  src: jax.Array) -> jax.Array:
-    """out[g, t*tile + i] = sum_b onehot[g*Tp+t, i, b] * src_g[q_t*stride + b].
+def _bands_dynamic(src: jax.Array, B: int, off: jax.Array) -> jax.Array:
+    """Traced-offset variant (vmapped dynamic_slice): ~1.7x slower than the
+    static slices but the jaxpr is independent of the mesh, so training over
+    many mesh combinations compiles once instead of once per combination."""
+    pad_len = max(B, 0)
+    p = jnp.pad(src, ((0, pad_len), (0, 0)))
+    return jax.vmap(
+        lambda o: jax.lax.dynamic_slice(p, (o, 0), (B, p.shape[1])))(off)
 
-    ``spec`` = (stride, k, tiles_per_graph, sources_per_graph, num_graphs);
-    per-graph application keeps chunk indices local under batching.
+
+def banded_matmul(onehot: jax.Array, specs, src: jax.Array,
+                  off_arr: jax.Array = None) -> jax.Array:
+    """out[row of tile t] = sum_b onehot[t, i, b] * src_g[offsets[t] + b].
+
+    ``specs`` is a static tuple with one entry per graph in the batch —
+    per-graph application keeps band offsets local under batching (graphs in
+    one batch may be different meshes with different bands). Each entry is
+    ``(Tp, Sp, offsets)`` for the fast static-slice path (rollout: offsets are
+    compile-time constants) or ``(Tp, Sp)`` with offsets taken from the traced
+    ``off_arr`` leaf (training: one jaxpr for every mesh combination).
+    ``src`` is cast to the table dtype (store tables in bf16 to halve the
+    dominant HBM traffic); accumulation is f32 on the MXU.
     """
-    stride, k, Tp, Sp, n = (int(x) for x in spec)
+    B = onehot.shape[2]
+    src = src.astype(onehot.dtype)
     outs = []
-    for g in range(n):
-        bands = _bands(src[g * Sp: (g + 1) * Sp], stride, k,
-                       q[g * Tp: (g + 1) * Tp])
-        oh = onehot[g * Tp: (g + 1) * Tp]
-        outs.append(jnp.einsum("tib,tbh->tih", oh, bands))
-    out = jnp.concatenate(outs) if n > 1 else outs[0]
+    to = so = 0
+    for spec in specs:
+        Tp, Sp = spec[0], spec[1]
+        if len(spec) > 2:
+            bands = _bands(src[so: so + Sp], B, spec[2])
+        else:
+            bands = _bands_dynamic(src[so: so + Sp], B,
+                                   off_arr[to: to + Tp])
+        oh = onehot[to: to + Tp]
+        outs.append(jnp.einsum("tib,tbh->tih", oh, bands,
+                               preferred_element_type=jnp.float32))
+        to += Tp
+        so += Sp
+    out = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
     return out.reshape(-1, src.shape[1])
+
+
+def pad_band_width(onehot: np.ndarray, B: int) -> np.ndarray:
+    """Zero-pad a table's band axis to a common width (for batching graphs
+    whose tables were built with different B)."""
+    if onehot.shape[2] == B:
+        return onehot
+    pad = [(0, 0), (0, 0), (0, B - onehot.shape[2])]
+    return np.pad(onehot, pad)

@@ -87,7 +87,8 @@ def main(argv: Optional[List[str]] = None):
     sim_ids = valid_ds.sim_ids()
 
     # restore parameters
-    graph = valid_ds.get_batch(rollout_batch(valid_ds))
+    from gnn_fluid_dynamics_tpu.graph import to_static_bands
+    graph = to_static_bands(valid_ds.get_batch(rollout_batch(valid_ds)))
     _, feats = model.transform_rollout(graph)
     trainer = Trainer(config, model)
     state0 = trainer.init_state(jax.random.PRNGKey(0), graph, feats)

@@ -257,3 +257,46 @@ def test_rcm_reorder_preserves_physics():
     area = geom2["face_area"].reshape(-1)[geom2["face_index"].T][..., None]
     closure = np.sum(geom2["cell_normal"] * area, axis=1)
     np.testing.assert_allclose(closure, 0.0, atol=1e-5)
+
+
+def test_banded_dynamic_heterogeneous_batch():
+    """Training-mode banded graphs (traced offsets, dataset-uniform band
+    widths) must match the scatter path when two DIFFERENT meshes share a
+    batch — each graph keeps its own band offsets."""
+    from gnn_fluid_dynamics_tpu.data.pipeline import (MeshDataset, Trajectory)
+    from gnn_fluid_dynamics_tpu.data.synthetic import channel_flow_trajectory
+    from gnn_fluid_dynamics_tpu.ops.reorder import rcm_reorder_geometry
+
+    trajs = []
+    for i, (nx, ny) in enumerate([(8, 6), (12, 7)]):
+        geom = rcm_reorder_geometry(make_geometry("structured", nx=nx, ny=ny))
+        fields = taylor_green_trajectory(geom, num_timesteps=3, dt=0.01)
+        trajs.append(Trajectory(mesh_id=f"m{i}", geom=geom,
+                                fields=dict(fields)))
+    ds = MeshDataset(trajs, pad_multiple=128, with_banded=True)
+    batch = ds.get_batch([("m0", 0), ("m1", 0)])
+    # training form: dynamic offsets only
+    assert all(len(s) == 2 for s in batch.hv_start)
+
+    model_seg = make_model("FvgnA", batch)
+    _, feats = model_seg.transform_features(batch, None, mode="rollout")
+    variables = model_seg.init(jax.random.PRNGKey(1), batch, feats)
+    o_seg, _ = model_seg.forward(variables, batch, feats, mode="rollout")
+
+    model_band = make_model("FvgnA", batch, aggregation="banded")
+    o_band, _ = model_band.forward(variables, batch, feats, mode="rollout")
+    mask = np.asarray(batch.cell_mask)
+    np.testing.assert_allclose(
+        np.asarray(o_band["cell_velocity_change"])[mask],
+        np.asarray(o_seg["cell_velocity_change"])[mask],
+        rtol=2e-2, atol=2e-3)
+
+    # static baking must give identical results to the dynamic path
+    from gnn_fluid_dynamics_tpu.graph import to_static_bands
+    gs = to_static_bands(batch)
+    assert all(len(s) == 3 for s in gs.hv_start)
+    o_sta, _ = model_band.forward(variables, gs, feats, mode="rollout")
+    np.testing.assert_allclose(
+        np.asarray(o_sta["cell_velocity_change"])[mask],
+        np.asarray(o_band["cell_velocity_change"])[mask],
+        rtol=1e-5, atol=1e-6)
