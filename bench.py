@@ -27,7 +27,11 @@ def main():
     parser.add_argument("--mp-num", type=int, default=15)
     parser.add_argument("--model", type=str, default="FluxD")
     parser.add_argument("--n-points", type=int, default=2400)
-    parser.add_argument("--aggregation", type=str, default="banded")
+    parser.add_argument("--aggregation", type=str, default="banded",
+                        choices=["segment", "gather", "banded", "pallas"])
+    parser.add_argument("--banded-dtype", type=str, default=None,
+                        help="table storage dtype (default: --dtype; "
+                             "'int8' for the pallas backend)")
     parser.add_argument("--dtype", type=str, default="bfloat16",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--repeats", type=int, default=2)
@@ -44,7 +48,7 @@ def main():
 
     # cylinder-in-channel mesh at DeepMind cylinder-flow scale (~3.5k cells)
     geom = make_geometry("cylinder", n_points=args.n_points, seed=0)
-    if args.aggregation == "banded":
+    if args.aggregation in ("banded", "pallas"):
         # RCM relabeling narrows the aggregation bands (ops/reorder.py)
         from gnn_fluid_dynamics_tpu.ops.reorder import rcm_reorder_geometry
         geom = rcm_reorder_geometry(geom)
@@ -53,8 +57,8 @@ def main():
     traj = Trajectory(mesh_id="mesh_0", geom=geom, fields=fields)
     ds = MeshDataset([traj], pad_multiple=256,
                      with_incidence=args.aggregation == "gather",
-                     with_banded=args.aggregation == "banded",
-                     banded_dtype=args.dtype)
+                     with_banded=args.aggregation in ("banded", "pallas"),
+                     banded_dtype=args.banded_dtype or args.dtype)
 
     loss_weights = {"continuity": 0.0, "cell_velocity_change": 10.0,
                     "cell_pressure": 1.0, "face_velocity": 1.0,

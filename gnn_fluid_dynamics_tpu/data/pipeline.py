@@ -143,13 +143,14 @@ class MeshDataset:
         self._tables_cache: Dict[Tuple, Any] = {}
         self._band_pad: Optional[Dict[str, int]] = None
         if with_banded:
-            bmax = {"hv": 0, "vc": 0, "cf": 0}
+            bmax = {"hv": 0, "vc": 0, "cf": 0, "es": 0}
             for t in self.trajectories:
                 tbl = self._tables_for(
                     t.mesh_id, self.bucket_pad[self.bucket_of[t.mesh_id]])
                 bmax["hv"] = max(bmax["hv"], tbl.hv_onehot.shape[2])
                 bmax["vc"] = max(bmax["vc"], tbl.vc_onehot.shape[2])
                 bmax["cf"] = max(bmax["cf"], tbl.cf_row_onehot.shape[2])
+                bmax["es"] = max(bmax["es"], tbl.es_onehot.shape[2])
             self._band_pad = bmax
 
     def _tables_for(self, mesh_id: str, pad: Dict[str, int]):

@@ -101,11 +101,16 @@ class MeshGraph:
     hv_off: jax.Array = None                # (Tv,) int32 per-tile band start
     vc_off: jax.Array = None                # (Tc,)
     cf_off: jax.Array = None                # (Tf,)
+    # edge-space send/recv selectors (Pallas aggregation backend)
+    es_onehot: jax.Array = None             # (Tv, 128, Bes)
+    er_onehot: jax.Array = None
+    es_off: jax.Array = None                # (Tv,)
     # static per-graph band specs: one (Tp, Sp[, offsets]) entry per graph in
     # the batch; offsets embedded => static-slice fast path (rollout)
     hv_start: tuple = struct.field(pytree_node=False, default=None)
     vc_start: tuple = struct.field(pytree_node=False, default=None)
     cf_start: tuple = struct.field(pytree_node=False, default=None)
+    es_start: tuple = struct.field(pytree_node=False, default=None)
 
     # ---- derived sizes (static) ----
     @property
@@ -287,11 +292,14 @@ def from_geometry(
         bp = band_pad or {}
         # bf16 tables: the 0/1 (and 1/3) weights are cheap to store at half
         # width, and the tables dominate message-passing HBM traffic
-        for key, oh in (("hv_onehot", tables.hv_onehot),
-                        ("vc_onehot", tables.vc_onehot),
-                        ("cf_row_onehot", tables.cf_row_onehot),
-                        ("cf_col_onehot", tables.cf_col_onehot)):
-            B = bp.get(key.split("_")[0], oh.shape[2])
+        for key, band_key, oh in (
+                ("hv_onehot", "hv", tables.hv_onehot),
+                ("vc_onehot", "vc", tables.vc_onehot),
+                ("cf_row_onehot", "cf", tables.cf_row_onehot),
+                ("cf_col_onehot", "cf", tables.cf_col_onehot),
+                ("es_onehot", "es", tables.es_onehot),
+                ("er_onehot", "es", tables.er_onehot)):
+            B = bp.get(band_key, oh.shape[2])
             kwargs[key] = jnp.asarray(pad_band_width(oh, B), banded_dtype)
         # one (tiles, sources[, offsets]) spec entry per graph: offsets are
         # embedded statically for rollout (fast path) and carried as traced
@@ -301,7 +309,9 @@ def from_geometry(
                                ("vc", tables.vc_offsets,
                                 tables.vc_onehot.shape[0], Vp),
                                ("cf", tables.cf_offsets,
-                                tables.cf_row_onehot.shape[0], Cp)):
+                                tables.cf_row_onehot.shape[0], Cp),
+                               ("es", tables.es_offsets,
+                                tables.es_onehot.shape[0], Fp)):
             kwargs[f"{pre}_off"] = jnp.asarray(off, jnp.int32)
             kwargs[f"{pre}_start"] = (((T, S, off),) if banded_static
                                       else ((T, S),))
@@ -358,9 +368,12 @@ def to_static_bands(graph: MeshGraph) -> MeshGraph:
             to += Tp
         return tuple(out)
 
-    return graph.replace(hv_start=bake(graph.hv_start, graph.hv_off),
-                         vc_start=bake(graph.vc_start, graph.vc_off),
-                         cf_start=bake(graph.cf_start, graph.cf_off))
+    kw = dict(hv_start=bake(graph.hv_start, graph.hv_off),
+              vc_start=bake(graph.vc_start, graph.vc_off),
+              cf_start=bake(graph.cf_start, graph.cf_off))
+    if graph.es_start is not None:
+        kw["es_start"] = bake(graph.es_start, graph.es_off)
+    return graph.replace(**kw)
 
 
 def batch_graphs(graphs) -> MeshGraph:
@@ -414,7 +427,7 @@ def batch_graphs(graphs) -> MeshGraph:
     for key in ("cell_velocity", "cell_pressure", "face_velocity",
                 "face_pressure", "face_flux", "cell_grad_weights",
                 "face_grad_weights", "vertex_inc_half", "vertex_inc_valid",
-                "hv_off", "vc_off", "cf_off"):
+                "hv_off", "vc_off", "cf_off", "es_off"):
         vals = [getattr(g, key) for g in graphs]
         kwargs[key] = None if vals[0] is None else cat(vals)
     # banded tables: pad band widths to the batch max, then concatenate tiles;
@@ -422,7 +435,8 @@ def batch_graphs(graphs) -> MeshGraph:
     for oh_keys, spec_key in ((("hv_onehot",), "hv_start"),
                               (("vc_onehot",), "vc_start"),
                               (("cf_row_onehot", "cf_col_onehot"),
-                               "cf_start")):
+                               "cf_start"),
+                              (("es_onehot", "er_onehot"), "es_start")):
         specs = [getattr(g, spec_key) for g in graphs]
         if specs[0] is None:
             kwargs[spec_key] = None

@@ -119,12 +119,18 @@ def aggregate_twice_mp(edge_attr: jax.Array, graph: MeshGraph,
     forward/reverse halves, scatter onto vertices, average each cell's 3
     vertices (``Fvgn.py:305-321``). Returns (C, H/2)."""
     H = edge_attr.shape[-1]
-    if aggregation == "banded" and graph.hv_onehot is not None:
+    if aggregation == "pallas" and graph.es_onehot is not None:
+        from gnn_fluid_dynamics_tpu.ops.pallas_agg import (
+            aggregate_edges_to_vertices_pallas,
+            aggregate_vertices_to_cells_pallas)
+        vtx = aggregate_edges_to_vertices_pallas(edge_attr, graph)
+        return aggregate_vertices_to_cells_pallas(vtx, graph)
+    if aggregation in ("banded", "pallas") and graph.hv_onehot is not None:
         from gnn_fluid_dynamics_tpu.ops.banded import banded_matmul
         hr = edge_attr.reshape(2 * edge_attr.shape[0], H // 2)
         vtx = banded_matmul(graph.hv_onehot, graph.hv_start, hr, graph.hv_off)
         return banded_matmul(graph.vc_onehot, graph.vc_start, vtx,
-                             graph.vc_off)
+                             graph.vc_off) / 3.0
     if aggregation == "gather" and graph.vertex_inc_edge is not None:
         vtx = seg_ops.aggregate_edges_to_vertices_gather(
             edge_attr, graph.vertex_inc_edge, graph.vertex_inc_half,
@@ -140,7 +146,11 @@ def gather_face_cells(cell_attr: jax.Array, graph: MeshGraph,
                       aggregation: str):
     """(x[owner], x[neighbour]) per face — banded einsum when available, else
     row gathers."""
-    if aggregation == "banded" and graph.cf_row_onehot is not None:
+    if aggregation == "pallas" and graph.cf_row_onehot is not None:
+        from gnn_fluid_dynamics_tpu.ops.pallas_agg import (
+            gather_face_cells_pallas)
+        return gather_face_cells_pallas(cell_attr, graph)
+    if aggregation in ("banded", "pallas") and graph.cf_row_onehot is not None:
         from gnn_fluid_dynamics_tpu.ops.banded import _bands, _bands_dynamic
         B = graph.cf_row_onehot.shape[2]
         cell_attr_b = cell_attr.astype(graph.cf_row_onehot.dtype)

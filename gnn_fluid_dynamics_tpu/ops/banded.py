@@ -56,10 +56,12 @@ def _build_table(targets_to_sources, num_targets: int, num_sources: int,
     lo = np.minimum(lo, np.maximum(hi, 0))
 
     # uniform band width = widest tile, rounded to a lane-friendly multiple;
-    # 8-row-aligned offsets keep the slice DMAs sublane-aligned
+    # 8-row-aligned offsets keep the slice DMAs sublane-aligned. Offsets are
+    # clamped so off + B <= num_sources: the Pallas kernels DMA straight from
+    # the (padded) source array, and an out-of-bounds DMA wedges the chip.
     width = int(np.max(hi - lo + 1)) if num_targets else 1
-    B = _round_up(max(width, 1), 128)
-    offsets = (lo // 8) * 8
+    B = min(_round_up(max(width, 1), 128), _round_up(max(num_sources, 1), 128))
+    offsets = np.minimum((lo // 8) * 8, max(num_sources - B, 0))
     onehot = np.zeros((Tn, tile, B), np.float32)
     for tgt in range(num_targets):
         t, r = divmod(tgt, tile)
@@ -74,11 +76,14 @@ class BandedTables:
     per-tile band start rows."""
     hv_offsets: tuple         # half-edge -> vertex
     hv_onehot: np.ndarray     # (Tv, 128, Bhv)
-    vc_offsets: tuple         # vertex -> cell (weights 1/3)
+    vc_offsets: tuple         # vertex -> cell (weight 1; callers scale 1/3)
     vc_onehot: np.ndarray
     cf_offsets: tuple         # cell -> face (shared row/col band)
     cf_row_onehot: np.ndarray
     cf_col_onehot: np.ndarray
+    es_offsets: tuple         # edge -> vertex, send/recv (Pallas backend)
+    es_onehot: np.ndarray     # (Tv, 128, Bes)
+    er_onehot: np.ndarray
 
 
 def build_banded_tables(geom: Dict[str, np.ndarray],
@@ -96,9 +101,10 @@ def build_banded_tables(geom: Dict[str, np.ndarray],
         t2s[vei[1, e]].append((2 * e + 1, 1.0))
     hv_off, hv_onehot = _build_table(t2s, V, 2 * F, tile=tile)
 
-    # vertex -> cell: mean of the 3 vertices
+    # vertex -> cell: mean of the 3 vertices. The table stores weight 1 so
+    # int8 storage is exact; both backends apply the 1/3 as a scalar.
     vface = np.asarray(geom["vertex_face"])
-    t2s = [[(int(vface[j, c]), 1.0 / 3.0) for j in range(3)] for c in range(C)]
+    t2s = [[(int(vface[j, c]), 1.0) for j in range(3)] for c in range(C)]
     vc_off, vc_onehot = _build_table(t2s, C, V, tile=tile)
 
     # cell -> face: owner (row) and neighbour (col) selectors sharing one band
@@ -113,8 +119,24 @@ def build_banded_tables(geom: Dict[str, np.ndarray],
         cf_row[t, r, cei[0, f] - cf_off[t]] += 1.0
         cf_col[t, r, cei[1, f] - cf_off[t]] += 1.0
 
+    # edge-space send/recv selectors sharing one band: the Pallas backend
+    # aggregates full-width edge latents (lane-aligned) instead of the
+    # (2F, H/2) half-edge view
+    t2s = [[] for _ in range(V)]
+    for e in range(F):
+        t2s[vei[0, e]].append((e, 1.0))
+        t2s[vei[1, e]].append((e, 1.0))
+    es_off, es_probe = _build_table(t2s, V, F, tile=tile)
+    Tv, Be = es_probe.shape[0], es_probe.shape[2]
+    es = np.zeros((Tv, tile, Be), np.float32)
+    er = np.zeros((Tv, tile, Be), np.float32)
+    for e in range(F):
+        ts, rs = divmod(int(vei[0, e]), tile)
+        es[ts, rs, e - es_off[ts]] += 1.0
+        tr, rr = divmod(int(vei[1, e]), tile)
+        er[tr, rr, e - es_off[tr]] += 1.0
     return BandedTables(hv_off, hv_onehot, vc_off, vc_onehot,
-                        cf_off, cf_row, cf_col)
+                        cf_off, cf_row, cf_col, es_off, es, er)
 
 
 # ---------------------------------------------------------------------------
@@ -155,6 +177,10 @@ def banded_matmul(onehot: jax.Array, specs, src: jax.Array,
     dominant HBM traffic); accumulation is f32 on the MXU.
     """
     B = onehot.shape[2]
+    if onehot.dtype == jnp.int8:
+        # int8 storage is for the Pallas backend (in-kernel upcast); here
+        # upcast the table, keep activations bf16
+        onehot = onehot.astype(jnp.bfloat16)
     src = src.astype(onehot.dtype)
     outs = []
     to = so = 0

@@ -300,3 +300,25 @@ def test_banded_dynamic_heterogeneous_batch():
         np.asarray(o_sta["cell_velocity_change"])[mask],
         np.asarray(o_band["cell_velocity_change"])[mask],
         rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_aggregation_equivalence():
+    """The Pallas fused aggregation backend (interpret mode on CPU) must match
+    the scatter path."""
+    from gnn_fluid_dynamics_tpu.ops.reorder import rcm_reorder_geometry
+    geom = rcm_reorder_geometry(make_geometry("structured", nx=8, ny=6))
+    fields = taylor_green_trajectory(geom, num_timesteps=3, dt=0.01)
+    g = from_geometry(geom, fields, dt=0.01, pad_multiple=128,
+                      with_banded=True)
+    model_seg = make_model("FvgnA", g)
+    _, feats = model_seg.transform_features(g, None, mode="rollout")
+    variables = model_seg.init(jax.random.PRNGKey(1), g, feats)
+    o_seg, _ = model_seg.forward(variables, g, feats, mode="rollout")
+
+    model_pal = make_model("FvgnA", g, aggregation="pallas")
+    o_pal, _ = model_pal.forward(variables, g, feats, mode="rollout")
+    C = int(np.asarray(g.cell_mask).sum())
+    np.testing.assert_allclose(
+        np.asarray(o_pal["cell_velocity_change"][:C]),
+        np.asarray(o_seg["cell_velocity_change"][:C]),
+        rtol=5e-2, atol=5e-3)
