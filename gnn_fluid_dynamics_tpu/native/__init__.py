@@ -75,6 +75,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.banded_onehot_fill.argtypes = [i64p, i64p, f32p, ctypes.c_int64,
                                        ctypes.c_int64, ctypes.c_int64,
                                        i32p, f32p]
+    lib.banded_fill_flat.restype = None
+    lib.banded_fill_flat.argtypes = [i64p, i64p, f32p, ctypes.c_int64,
+                                     ctypes.c_int64, ctypes.c_int64,
+                                     i32p, f32p]
     _lib = lib
     return _lib
 
@@ -131,3 +135,19 @@ def build_vertex_incidence(vertex_edge_index: np.ndarray, num_vertices: int,
     if rc != 0:
         raise ValueError("native incidence fill overflow")
     return edge_id, half, valid.astype(bool)
+
+
+def banded_fill(tgt, src, w, rows: int, tile: int, B: int, offsets):
+    """Dense banded one-hot fill from flat (target, source, weight) triples;
+    returns (rows // tile, tile, B) float32, or None when the native library
+    is unavailable (callers fall back to np.add.at)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    tgt = np.ascontiguousarray(tgt, np.int64)
+    src = np.ascontiguousarray(src, np.int64)
+    w = np.ascontiguousarray(w, np.float32)
+    offsets = np.ascontiguousarray(offsets, np.int32)
+    onehot = np.zeros((rows, B), np.float32)
+    lib.banded_fill_flat(tgt, src, w, len(tgt), tile, B, offsets, onehot)
+    return onehot.reshape(rows // tile, tile, B)

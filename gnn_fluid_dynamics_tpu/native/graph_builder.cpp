@@ -191,4 +191,16 @@ void banded_onehot_fill(const int64_t* indptr, const int64_t* indices,
     }
 }
 
-}  // extern "C"
+// Flat-triple variant: (target, source, weight) in any order; offsets are
+// per-tile band starts. onehot is (rows, B) zero-initialized by the caller.
+void banded_fill_flat(const int64_t* tgt, const int64_t* srcs, const float* w,
+                      int64_t nnz, int64_t tile, int64_t B,
+                      const int32_t* offsets, float* onehot) {
+    for (int64_t k = 0; k < nnz; ++k) {
+        int64_t t = tgt[k] / tile;
+        int64_t col = srcs[k] - offsets[t];
+        if (col >= 0 && col < B) onehot[tgt[k] * B + col] += w[k];
+    }
+}
+
+}  // extern "C" 

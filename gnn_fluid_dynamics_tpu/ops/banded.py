@@ -38,36 +38,47 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
-def _build_table(targets_to_sources, num_targets: int, num_sources: int,
-                 tile: int = TILE):
-    """Generic banded table with static per-tile offsets.
+def _build_table(tgt: np.ndarray, src: np.ndarray, w: np.ndarray,
+                 num_targets: int, num_sources: int, tile: int = TILE):
+    """Generic banded table with static per-tile offsets, from flat
+    (target, source, weight) triples (any order, duplicates accumulate).
 
     Returns (offsets (T,) python ints, onehot (T, tile, B)): tile t covers
     source rows [offsets[t], offsets[t] + B).
     """
+    tgt = np.asarray(tgt, np.int64).ravel()
+    src = np.asarray(src, np.int64).ravel()
+    w = np.asarray(w, np.float32).ravel()
     Tn = _round_up(max(num_targets, 1), tile) // tile
     lo = np.full(Tn, num_sources, np.int64)
     hi = np.zeros(Tn, np.int64)
-    for tgt in range(num_targets):
-        t = tgt // tile
-        for src, _ in targets_to_sources[tgt]:
-            lo[t] = min(lo[t], src)
-            hi[t] = max(hi[t], src)
+    tiles = tgt // tile
+    np.minimum.at(lo, tiles, src)
+    np.maximum.at(hi, tiles, src)
     lo = np.minimum(lo, np.maximum(hi, 0))
 
     # uniform band width = widest tile, rounded to a lane-friendly multiple;
     # 8-row-aligned offsets keep the slice DMAs sublane-aligned. Offsets are
     # clamped so off + B <= num_sources: the Pallas kernels DMA straight from
     # the (padded) source array, and an out-of-bounds DMA wedges the chip.
-    width = int(np.max(hi - lo + 1)) if num_targets else 1
+    width = int(np.max(hi - lo + 1)) if len(tgt) else 1
     B = min(_round_up(max(width, 1), 128), _round_up(max(num_sources, 1), 128))
     offsets = np.minimum((lo // 8) * 8, max(num_sources - B, 0))
-    onehot = np.zeros((Tn, tile, B), np.float32)
-    for tgt in range(num_targets):
-        t, r = divmod(tgt, tile)
-        for src, w in targets_to_sources[tgt]:
-            onehot[t, r, src - offsets[t]] += w
+    onehot = _onehot_fill(tgt, src, w, Tn, tile, B, offsets, tiles)
     return tuple(int(o) for o in offsets), onehot
+
+
+def _onehot_fill(tgt, src, w, Tn, tile, B, offsets, tiles):
+    """Dense (Tn, tile, B) scatter-add — native C++ when available
+    (``native.banded_fill``), vectorized np.add.at fallback (identical)."""
+    from gnn_fluid_dynamics_tpu import native
+    out = native.banded_fill(tgt, src, w, Tn * tile, tile, B,
+                             offsets.astype(np.int32))
+    if out is not None:
+        return out
+    onehot = np.zeros((Tn, tile, B), np.float32)
+    np.add.at(onehot.reshape(-1), tgt * B + (src - offsets[tiles]), w)
+    return onehot
 
 
 @dataclasses.dataclass
@@ -88,53 +99,46 @@ class BandedTables:
 
 def build_banded_tables(geom: Dict[str, np.ndarray],
                         tile: int = TILE) -> BandedTables:
-    vei = np.asarray(geom["vertex_edge_index"])
+    vei = np.asarray(geom["vertex_edge_index"], np.int64)
     V = geom["vertex_pos"].shape[0]
     F = vei.shape[1]
     C = geom["cell_pos"].shape[0]
+    eF = np.arange(F, dtype=np.int64)
+    ones2F = np.ones(2 * F, np.float32)
 
     # half-edge -> vertex: vertex v sums fwd halves (2e) of edges it sends and
     # rev halves (2e+1) of edges it receives
-    t2s = [[] for _ in range(V)]
-    for e in range(F):
-        t2s[vei[0, e]].append((2 * e, 1.0))
-        t2s[vei[1, e]].append((2 * e + 1, 1.0))
-    hv_off, hv_onehot = _build_table(t2s, V, 2 * F, tile=tile)
+    hv_off, hv_onehot = _build_table(
+        np.concatenate([vei[0], vei[1]]),
+        np.concatenate([2 * eF, 2 * eF + 1]), ones2F, V, 2 * F, tile=tile)
 
     # vertex -> cell: mean of the 3 vertices. The table stores weight 1 so
     # int8 storage is exact; both backends apply the 1/3 as a scalar.
-    vface = np.asarray(geom["vertex_face"])
-    t2s = [[(int(vface[j, c]), 1.0) for j in range(3)] for c in range(C)]
-    vc_off, vc_onehot = _build_table(t2s, C, V, tile=tile)
+    vface = np.asarray(geom["vertex_face"], np.int64)
+    vc_off, vc_onehot = _build_table(
+        np.repeat(np.arange(C, dtype=np.int64), 3), vface.T.ravel(),
+        np.ones(3 * C, np.float32), C, V, tile=tile)
 
     # cell -> face: owner (row) and neighbour (col) selectors sharing one band
-    cei = np.asarray(geom["cell_edge_index"])
-    both = [[(int(cei[0, f]), 1.0), (int(cei[1, f]), 1.0)] for f in range(F)]
-    cf_off, cf_probe = _build_table(both, F, C, tile=tile)
+    cei = np.asarray(geom["cell_edge_index"], np.int64)
+    cf_off, cf_probe = _build_table(
+        np.repeat(eF, 2), cei.T.ravel(), ones2F, F, C, tile=tile)
     Tf, B = cf_probe.shape[0], cf_probe.shape[2]
-    cf_row = np.zeros((Tf, tile, B), np.float32)
-    cf_col = np.zeros((Tf, tile, B), np.float32)
-    for f in range(F):
-        t, r = divmod(f, tile)
-        cf_row[t, r, cei[0, f] - cf_off[t]] += 1.0
-        cf_col[t, r, cei[1, f] - cf_off[t]] += 1.0
+    off32 = np.asarray(cf_off, np.int64)
+    onesF = np.ones(F, np.float32)
+    cf_row = _onehot_fill(eF, cei[0], onesF, Tf, tile, B, off32, eF // tile)
+    cf_col = _onehot_fill(eF, cei[1], onesF, Tf, tile, B, off32, eF // tile)
 
     # edge-space send/recv selectors sharing one band: the Pallas backend
     # aggregates full-width edge latents (lane-aligned) instead of the
     # (2F, H/2) half-edge view
-    t2s = [[] for _ in range(V)]
-    for e in range(F):
-        t2s[vei[0, e]].append((e, 1.0))
-        t2s[vei[1, e]].append((e, 1.0))
-    es_off, es_probe = _build_table(t2s, V, F, tile=tile)
+    es_off, es_probe = _build_table(
+        np.concatenate([vei[0], vei[1]]), np.concatenate([eF, eF]),
+        ones2F, V, F, tile=tile)
     Tv, Be = es_probe.shape[0], es_probe.shape[2]
-    es = np.zeros((Tv, tile, Be), np.float32)
-    er = np.zeros((Tv, tile, Be), np.float32)
-    for e in range(F):
-        ts, rs = divmod(int(vei[0, e]), tile)
-        es[ts, rs, e - es_off[ts]] += 1.0
-        tr, rr = divmod(int(vei[1, e]), tile)
-        er[tr, rr, e - es_off[tr]] += 1.0
+    eoff = np.asarray(es_off, np.int64)
+    es = _onehot_fill(vei[0], eF, onesF, Tv, tile, Be, eoff, vei[0] // tile)
+    er = _onehot_fill(vei[1], eF, onesF, Tv, tile, Be, eoff, vei[1] // tile)
     return BandedTables(hv_off, hv_onehot, vc_off, vc_onehot,
                         cf_off, cf_row, cf_col, es_off, es, er)
 

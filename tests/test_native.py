@@ -55,3 +55,23 @@ def test_native_speedup_on_larger_mesh():
     interior = cei[0] != cei[1]
     assert float(sign.sum()) == float((~interior).sum())
     assert t_native < 1.0
+
+
+def test_native_banded_fill_matches_numpy():
+    """Native banded one-hot fill must match the np.add.at fallback."""
+    import numpy as np
+    from gnn_fluid_dynamics_tpu import native
+    if not native.native_available():
+        import pytest
+        pytest.skip("no native toolchain")
+    rng = np.random.RandomState(0)
+    Tn, tile, B, S = 3, 128, 256, 512
+    nnz = 1000
+    tgt = rng.randint(0, Tn * tile, nnz).astype(np.int64)
+    offsets = (rng.randint(0, (S - B) // 8 + 1, Tn) * 8).astype(np.int32)
+    src = (offsets[tgt // tile] + rng.randint(0, B, nnz)).astype(np.int64)
+    w = rng.rand(nnz).astype(np.float32)
+    got = native.banded_fill(tgt, src, w, Tn * tile, tile, B, offsets)
+    ref = np.zeros((Tn, tile, B), np.float32)
+    np.add.at(ref.reshape(-1), tgt * B + (src - offsets[tgt // tile]), w)
+    np.testing.assert_allclose(got, ref, rtol=1e-6)
