@@ -96,6 +96,15 @@ class Trainer:
         self.sample_count = 0
         self._train_step_fn = None
         self._pf_rollout_fn = None
+        # data parallelism over an ICI mesh (reference's broken DDP,
+        # train.py:398-415, made first-class): settings.multi_gpu keeps the
+        # reference config key; num_devices defaults to the whole slice
+        self.dp_mesh = None
+        self._dp_step_fn = None
+        if config.settings.multi_gpu and len(jax.devices()) > 1:
+            from gnn_fluid_dynamics_tpu.parallel.data_parallel import (
+                make_device_mesh)
+            self.dp_mesh = make_device_mesh(config.settings.num_devices)
 
     # ---- state --------------------------------------------------------------
     def init_state(self, rng: jax.Array, graph: MeshGraph, feats: Dict
@@ -171,6 +180,21 @@ class Trainer:
         self._last_grads = grads
         return state, losses
 
+    def dp_train_step(self, state: TrainState, device_graphs, lr: float):
+        if self._dp_step_fn is None:
+            from gnn_fluid_dynamics_tpu.parallel.data_parallel import (
+                make_dp_train_step)
+            self._dp_step_fn = make_dp_train_step(
+                self.model, self.optimizer, self.dp_mesh,
+                noise_std=float(self.config.training.noise_std or 0.0))
+        return self._dp_step_fn(state, device_graphs, lr)
+
+    def _host_state(self, state: TrainState) -> TrainState:
+        """Pull a (replicated) DP state to host for validation/checkpoint."""
+        if self.dp_mesh is None:
+            return state
+        return jax.tree.map(np.asarray, state)
+
     # ---- loop ---------------------------------------------------------------
     def run(self, state: TrainState, train_dataset: MeshDataset,
             valid_dataset: Optional[MeshDataset] = None,
@@ -191,16 +215,40 @@ class Trainer:
         mini_losses: Dict[str, float] = {}
         me_start = time.time()
         from gnn_fluid_dynamics_tpu.data.pipeline import prefetch
+        n_dev = self.dp_mesh.devices.size if self.dp_mesh is not None else 1
+        if self.dp_mesh is not None:
+            from gnn_fluid_dynamics_tpu.parallel.data_parallel import (
+                replicate, shard_batch)
+            state = replicate(state, self.dp_mesh)
         for _ in range(t.epochs - self.epoch_count):
             self.epoch_count += 1
-            batch_iter = prefetch(
-                train_batches(train_dataset, t.batch_size, np_rng),
-                train_dataset, size=t.prefetch_buffer)
+            if self.dp_mesh is not None:
+                # global batch split across devices (reference train.py:407)
+                per_dev = max(t.batch_size // n_dev, 1)
+
+                def dev_batches():
+                    for samples in train_batches(train_dataset,
+                                                 per_dev * n_dev, np_rng):
+                        if len(samples) < per_dev * n_dev:
+                            continue
+                        yield shard_batch(
+                            [train_dataset.get_batch(
+                                samples[i * per_dev:(i + 1) * per_dev])
+                             for i in range(n_dev)], self.dp_mesh)
+                batch_iter = dev_batches()
+            else:
+                batch_iter = prefetch(
+                    train_batches(train_dataset, t.batch_size, np_rng),
+                    train_dataset, size=t.prefetch_buffer)
             for graph in batch_iter:
                 self.step_count += 1
-                self.sample_count += graph.num_graphs
+                self.sample_count += (graph.num_graphs if n_dev == 1
+                                      else per_dev * n_dev)
                 lr = schedule(self.mini_epoch_count)
-                state, losses = self.train_step(state, graph, lr)
+                if self.dp_mesh is not None:
+                    state, losses = self.dp_train_step(state, graph, lr)
+                else:
+                    state, losses = self.train_step(state, graph, lr)
                 for k, v in losses.items():
                     mini_losses[k] = mini_losses.get(k, 0.0) + float(v)
 
@@ -231,13 +279,14 @@ class Trainer:
 
                     if (valid_dataset is not None and cfg.logging.valid_frequency
                             and self.mini_epoch_count % cfg.logging.valid_frequency == 0):
-                        vl = self.validate(state, valid_dataset, num_valid_steps)
+                        vl = self.validate(self._host_state(state),
+                                           valid_dataset, num_valid_steps)
                         self._log(vl, prefix="valid")
 
                     if (self.checkpointer is not None and cfg.logging.save_frequency
                             and self.mini_epoch_count % cfg.logging.save_frequency == 0):
                         self.checkpointer.save(
-                            state, self, mini_losses)
+                            self._host_state(state), self, mini_losses)
 
                     self._log({"learning_rate": lr,
                                "sample_count": self.sample_count}, prefix="train")

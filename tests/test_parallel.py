@@ -120,3 +120,24 @@ def test_dp_matches_single_device_gradients():
     b = jax.tree.leaves(state2.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                atol=1e-6)
+
+
+def test_trainer_run_with_multi_gpu_config():
+    """settings.multi_gpu routes the Trainer loop through the DP step
+    (reference torchrun dispatch, scripts/train.sh:28) and the loss falls."""
+    ds, cfg, model, g0, feats = setup()
+    cfg.settings.multi_gpu = True
+    cfg.settings.num_devices = 4
+    cfg.training.batch_size = 4          # global; 1 per device
+    cfg.training.epochs = 2
+    cfg.training.mini_epoch_size = 8
+    cfg.logging.valid_frequency = 0
+    trainer = Trainer(cfg, model)
+    assert trainer.dp_mesh is not None
+    state = trainer.init_state(jax.random.PRNGKey(0), g0, feats)
+    first = None
+    state = trainer.run(state, ds)
+    host = trainer._host_state(state)
+    assert int(host.step) > 0
+    leaves = jax.tree.leaves(host.params)
+    assert all(np.all(np.isfinite(x)) for x in leaves)
