@@ -143,7 +143,7 @@ class MeshDataset:
         self._tables_cache: Dict[Tuple, Any] = {}
         self._band_pad: Optional[Dict[str, int]] = None
         if with_banded:
-            bmax = {"hv": 0, "vc": 0, "cf": 0, "es": 0}
+            bmax = {"hv": 0, "vc": 0, "cf": 0, "es": 0, "fc3": 0}
             for t in self.trajectories:
                 tbl = self._tables_for(
                     t.mesh_id, self.bucket_pad[self.bucket_of[t.mesh_id]])
@@ -151,6 +151,7 @@ class MeshDataset:
                 bmax["vc"] = max(bmax["vc"], tbl.vc_onehot.shape[2])
                 bmax["cf"] = max(bmax["cf"], tbl.cf_row_onehot.shape[2])
                 bmax["es"] = max(bmax["es"], tbl.es_onehot.shape[2])
+                bmax["fc3"] = max(bmax["fc3"], tbl.fc3_onehot.shape[2])
             self._band_pad = bmax
 
     def _tables_for(self, mesh_id: str, pad: Dict[str, int]):

@@ -105,12 +105,16 @@ class MeshGraph:
     es_onehot: jax.Array = None             # (Tv, 128, Bes)
     er_onehot: jax.Array = None
     es_off: jax.Array = None                # (Tv,)
+    # face -> (cell, local slot) selector (integrator gathers)
+    fc3_onehot: jax.Array = None            # (T3, 128, Bfc)
+    fc3_off: jax.Array = None               # (T3,)
     # static per-graph band specs: one (Tp, Sp[, offsets]) entry per graph in
     # the batch; offsets embedded => static-slice fast path (rollout)
     hv_start: tuple = struct.field(pytree_node=False, default=None)
     vc_start: tuple = struct.field(pytree_node=False, default=None)
     cf_start: tuple = struct.field(pytree_node=False, default=None)
     es_start: tuple = struct.field(pytree_node=False, default=None)
+    fc3_start: tuple = struct.field(pytree_node=False, default=None)
 
     # ---- derived sizes (static) ----
     @property
@@ -298,7 +302,8 @@ def from_geometry(
                 ("cf_row_onehot", "cf", tables.cf_row_onehot),
                 ("cf_col_onehot", "cf", tables.cf_col_onehot),
                 ("es_onehot", "es", tables.es_onehot),
-                ("er_onehot", "es", tables.er_onehot)):
+                ("er_onehot", "es", tables.er_onehot),
+                ("fc3_onehot", "fc3", tables.fc3_onehot)):
             B = bp.get(band_key, oh.shape[2])
             kwargs[key] = jnp.asarray(pad_band_width(oh, B), banded_dtype)
         # one (tiles, sources[, offsets]) spec entry per graph: offsets are
@@ -311,7 +316,9 @@ def from_geometry(
                                ("cf", tables.cf_offsets,
                                 tables.cf_row_onehot.shape[0], Cp),
                                ("es", tables.es_offsets,
-                                tables.es_onehot.shape[0], Fp)):
+                                tables.es_onehot.shape[0], Fp),
+                               ("fc3", tables.fc3_offsets,
+                                tables.fc3_onehot.shape[0], Fp)):
             kwargs[f"{pre}_off"] = jnp.asarray(off, jnp.int32)
             kwargs[f"{pre}_start"] = (((T, S, off),) if banded_static
                                       else ((T, S),))
@@ -344,6 +351,8 @@ def banded_tables_for(geom: Dict[str, np.ndarray], pad_to: Dict[str, int]):
                             Vp - 1 if Vp > V else 0),
         "cell_edge_index": padi(geom["cell_edge_index"], Fp,
                                 Cp - 1 if Cp > C else 0),
+        "face_index": padi(geom["face_index"], Cp,
+                           Fp - 1 if Fp > F else 0),
     }
     return build_banded_tables(padded_geom)
 
@@ -373,6 +382,8 @@ def to_static_bands(graph: MeshGraph) -> MeshGraph:
               cf_start=bake(graph.cf_start, graph.cf_off))
     if graph.es_start is not None:
         kw["es_start"] = bake(graph.es_start, graph.es_off)
+    if graph.fc3_start is not None:
+        kw["fc3_start"] = bake(graph.fc3_start, graph.fc3_off)
     return graph.replace(**kw)
 
 
@@ -427,7 +438,7 @@ def batch_graphs(graphs) -> MeshGraph:
     for key in ("cell_velocity", "cell_pressure", "face_velocity",
                 "face_pressure", "face_flux", "cell_grad_weights",
                 "face_grad_weights", "vertex_inc_half", "vertex_inc_valid",
-                "hv_off", "vc_off", "cf_off", "es_off"):
+                "hv_off", "vc_off", "cf_off", "es_off", "fc3_off"):
         vals = [getattr(g, key) for g in graphs]
         kwargs[key] = None if vals[0] is None else cat(vals)
     # banded tables: pad band widths to the batch max, then concatenate tiles;
@@ -436,7 +447,8 @@ def batch_graphs(graphs) -> MeshGraph:
                               (("vc_onehot",), "vc_start"),
                               (("cf_row_onehot", "cf_col_onehot"),
                                "cf_start"),
-                              (("es_onehot", "er_onehot"), "es_start")):
+                              (("es_onehot", "er_onehot"), "es_start"),
+                              (("fc3_onehot",), "fc3_start")):
         specs = [getattr(g, spec_key) for g in graphs]
         if specs[0] is None:
             kwargs[spec_key] = None

@@ -345,6 +345,19 @@ def _gather3(x: jax.Array, face_index: jax.Array) -> jax.Array:
     return x[face_index.T]
 
 
+def gather3(x: jax.Array, graph: MeshGraph) -> jax.Array:
+    """(F, D) -> (C, 3, D) per-cell face gather. When the graph carries the
+    fc3 banded selector, one einsum replaces the row gather — TPU row gathers
+    run ~1 row/cycle and the integrators' (C, 3) gathers dominated the
+    rollout's fixed per-step cost (~0.5 ms of a 1.2 ms step)."""
+    if graph.fc3_onehot is not None:
+        from gnn_fluid_dynamics_tpu.ops.banded import banded_matmul
+        out = banded_matmul(graph.fc3_onehot, graph.fc3_start, x,
+                            graph.fc3_off)
+        return out[: 3 * graph.num_cells].reshape(-1, 3, x.shape[1])
+    return x[graph.face_index.T]
+
+
 class FvgnIntegrator(nn.Module):
     """Normalized-space momentum flux balance (reference ``FvgnA.Integrator``,
     Fvgn.py:214-255): acc = -Phi_A - Phi_P/rho + Phi_D with BatchNorm'd
@@ -363,16 +376,15 @@ class FvgnIntegrator(nn.Module):
         flux_d = edge_output[:, 3:]
 
         uu_vu = jnp.concatenate([uv[:, 0:1] * uv, uv[:, 1:2] * uv], axis=-1)  # (F,4)
-        e = _gather3(face_area, graph.face_index)             # (C, 3, 1)
+        # ONE fused per-cell face gather of every face quantity
+        g = gather3(jnp.concatenate([face_area, uu_vu, flux_d, p], axis=1),
+                    graph)                                    # (C, 3, 8)
+        e, uu, d, pf = g[..., 0:1], g[..., 1:5], g[..., 5:7], g[..., 7:8]
         # advective: per local face, chain_flux_dot([uu,uv,vu,vv], n) * area
-        uu = _gather3(uu_vu, graph.face_index)                # (C, 3, 4)
-        a = jnp.einsum("cfkd,cfd->cfk", uu.reshape(-1, 3, 2, 2), unv)  # (C,3,2)
+        a = jnp.einsum("cfkd,cfd->cfk",
+                       uu.reshape(-1, 3, 2, 2), unv)          # (C, 3, 2)
         phi_a = jnp.sum(a * e, axis=1)                        # (C, 2)
-
-        d = _gather3(flux_d, graph.face_index)                # (C, 3, 2)
         phi_d = jnp.sum(d, axis=1)
-
-        pf = _gather3(p, graph.face_index)                    # (C, 3, 1)
         phi_p = jnp.sum(pf * unv * e, axis=1)                 # (C, 2)
 
         acc = -phi_a - phi_p / self.rho + phi_d
@@ -396,16 +408,13 @@ class PhysicalIntegrator(nn.Module):
         p = edge_output[:, 2:3]
 
         uu_vu = jnp.concatenate([uv[:, 0:1] * uv, uv[:, 1:2] * uv], axis=-1)
-        e = _gather3(area, graph.face_index)
-        uu = _gather3(uu_vu, graph.face_index).reshape(-1, 3, 2, 2)
-        phi_a = jnp.sum(jnp.einsum("cfkd,cfd->cfk", uu, unv) * e, axis=1)
-
         grad = calc_gradient_tensor(uv, graph.face_grad_weights,
                                     graph.face_grad_neighbours)   # (F, 4)
-        g = _gather3(grad, graph.face_index).reshape(-1, 3, 2, 2)
-        phi_d = jnp.sum(jnp.einsum("cfkd,cfd->cfk", g, unv) * e, axis=1)
-
-        pf = _gather3(p, graph.face_index)
+        gg = gather3(jnp.concatenate([area, uu_vu, grad, p], axis=1), graph)
+        e, uu, gr, pf = (gg[..., 0:1], gg[..., 1:5].reshape(-1, 3, 2, 2),
+                         gg[..., 5:9].reshape(-1, 3, 2, 2), gg[..., 9:10])
+        phi_a = jnp.sum(jnp.einsum("cfkd,cfd->cfk", uu, unv) * e, axis=1)
+        phi_d = jnp.sum(jnp.einsum("cfkd,cfd->cfk", gr, unv) * e, axis=1)
         phi_p = jnp.sum(pf * unv * e, axis=1)
 
         coeff = jnp.mean(graph.dt) / jnp.maximum(
@@ -425,25 +434,21 @@ class FluxIntegrator(nn.Module):
 
     @nn.compact
     def __call__(self, edge_output, graph: MeshGraph, train: bool):
-        from gnn_fluid_dynamics_tpu.ops.fvm import face_flux_to_cell_flux
         uv = edge_output[:, :2]
         p = edge_output[:, 2:3]
         phi = edge_output[:, 3:4]
         flux_d = edge_output[:, 4:6]
 
-        cell_flux = face_flux_to_cell_flux(phi, graph.face_index,
-                                           graph.cell_face_sign)   # (C, 3, 1)
         n = VolDtNorm(name="vol_dt_norm")(graph, train)             # (F, 1)
-        nf = _gather3(n, graph.face_index)                          # (C, 3, 1)
-        uvf = _gather3(uv, graph.face_index)                        # (C, 3, 2)
-        phi_a = jnp.sum(uvf * cell_flux * nf, axis=1)               # (C, 2)
-
-        df = _gather3(flux_d, graph.face_index)
-        phi_d = jnp.sum(df, axis=1)
-
         face_area = FaceAreaNorm(name="face_area_norm")(graph, train)
-        e = _gather3(face_area, graph.face_index)
-        pf = _gather3(p, graph.face_index)
+        g = gather3(jnp.concatenate([phi, n, uv, flux_d, face_area, p],
+                                    axis=1), graph)                 # (C, 3, 8)
+        phif, nf, uvf = g[..., 0:1], g[..., 1:2], g[..., 2:4]
+        df, e, pf = g[..., 4:6], g[..., 6:7], g[..., 7:8]
+        # signed per-cell flux (reference fvm.face_flux_to_cell_flux)
+        cell_flux = phif * graph.cell_face_sign[..., None]          # (C, 3, 1)
+        phi_a = jnp.sum(uvf * cell_flux * nf, axis=1)               # (C, 2)
+        phi_d = jnp.sum(df, axis=1)
         phi_p = jnp.sum(pf * graph.cell_normal * e, axis=1)
 
         acc = -phi_a - phi_p / self.rho + phi_d

@@ -158,14 +158,14 @@ class FluidModel:
         """Physical state for error metrics / saving: always produces
         ``cell_velocity`` (+= change if needed) and ``cell_pressure``
         (face->centroid if needed) — reference ``rollout.py:337-346``."""
-        from gnn_fluid_dynamics_tpu.ops.geometry import face_to_centroid
         sol = dict(outputs)
         sol.pop("_nfeats", None)
         if "cell_velocity" not in sol and "cell_velocity_change" in sol:
             sol["cell_velocity"] = feats["cell_x"][:, 0:2] + sol["cell_velocity_change"]
         if "cell_pressure" not in sol and "face_pressure" in sol:
-            sol["cell_pressure"] = face_to_centroid(sol["face_pressure"],
-                                                    graph.face_index)
+            from gnn_fluid_dynamics_tpu.models.arch import gather3
+            fp = sol["face_pressure"].reshape(-1, 1)
+            sol["cell_pressure"] = jnp.mean(gather3(fp, graph), axis=1)
         return sol
 
     def update_features(self, solutions: Dict, feats: Dict, graph: MeshGraph
@@ -178,7 +178,12 @@ class FluidModel:
         new_feats = dict(feats)
         v = solutions["cell_velocity"]
         new_feats["cell_x"] = v
-        dv = calc_face_velocity_change(v[:, :2], graph.cell_edge_index)
+        if graph.cf_row_onehot is not None:
+            from gnn_fluid_dynamics_tpu.models.arch import gather_face_cells
+            row, col = gather_face_cells(v[:, :2], graph, "banded")
+            dv = row - col
+        else:
+            dv = calc_face_velocity_change(v[:, :2], graph.cell_edge_index)
         mask = rollout_bc_mask(graph.face_type)
         dv = jnp.where(mask[:, None], feats["face_y"][:, 0:2], dv)
         new_feats["face_x"] = feats["face_x"].at[:, 0:2].set(dv)

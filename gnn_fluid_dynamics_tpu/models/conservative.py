@@ -41,7 +41,7 @@ from gnn_fluid_dynamics_tpu.models.arch import (MLP, AntisymMLP, ArchConfig,
                                                 FvgnIntegrator,
                                                 LearnedScaleDenorm,
                                                 aggregate_faces_to_cells,
-                                                aggregate_twice_mp, _gather3)
+                                                aggregate_twice_mp, gather3)
 from gnn_fluid_dynamics_tpu.models.base import FluidModel
 from gnn_fluid_dynamics_tpu.models.fvgn import FvgnA, _f, _z
 from gnn_fluid_dynamics_tpu.models.losses import combined_log_loss, mse_per_element
@@ -514,12 +514,11 @@ class _ConsHIntegrator(nn.Module):
         p = edge_output[:, 2:3]
         q = edge_output[:, 3:5]
         uu_vu = jnp.concatenate([uv[:, 0:1] * uv, uv[:, 1:2] * uv], axis=-1)
-        e = _gather3(face_area, graph.face_index)
-        uu = _gather3(uu_vu, graph.face_index).reshape(-1, 3, 2, 2)
+        g = gather3(jnp.concatenate([face_area, uu_vu, q, p], axis=1), graph)
+        e, uu = g[..., 0:1], g[..., 1:5].reshape(-1, 3, 2, 2)
+        qf, pf = g[..., 5:7], g[..., 7:8]
         phi_a = jnp.sum(jnp.einsum("cfkd,cfd->cfk", uu, unv) * e, axis=1)
-        qf = _gather3(q, graph.face_index)                  # (C, 3, 2)
         phi_d = jnp.sum(qf * unv * e, axis=1)
-        pf = _gather3(p, graph.face_index)
         phi_p = jnp.sum(pf * unv * e, axis=1)
         acc = -phi_a - phi_p / self.rho + phi_d
         acc = jnp.where(graph.cell_mask[:, None], acc, 0.0)
@@ -562,11 +561,11 @@ class _ConsHModule(nn.Module):
             pr = face_out[:, 2:3]
             q = face_out[:, 3:5]
             uu_vu = jnp.concatenate([uv[:, 0:1] * uv, uv[:, 1:2] * uv], axis=-1)
-            e = _gather3(area, graph.face_index)
-            uu = _gather3(uu_vu, graph.face_index).reshape(-1, 3, 2, 2)
+            g = gather3(jnp.concatenate([area, uu_vu, q, pr], axis=1), graph)
+            e, uu = g[..., 0:1], g[..., 1:5].reshape(-1, 3, 2, 2)
             phi_a = jnp.sum(jnp.einsum("cfkd,cfd->cfk", uu, unv) * e, axis=1)
-            phi_d = jnp.sum(_gather3(q, graph.face_index) * unv * e, axis=1)
-            phi_p = jnp.sum(_gather3(pr, graph.face_index) * unv * e, axis=1)
+            phi_d = jnp.sum(g[..., 5:7] * unv * e, axis=1)
+            phi_p = jnp.sum(g[..., 7:8] * unv * e, axis=1)
             coeff = jnp.mean(graph.dt) / jnp.maximum(
                 graph.cell_volume.reshape(-1, 1), 1e-12)
             acc = coeff * (-phi_a - phi_p + 0.001 * phi_d)

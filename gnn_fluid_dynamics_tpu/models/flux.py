@@ -29,7 +29,7 @@ from gnn_fluid_dynamics_tpu.models import transforms as T
 from gnn_fluid_dynamics_tpu.models.arch import (ArchConfig, EncodeProcessDecode,
                                                 FaceAreaNorm, FluxIntegrator,
                                                 FvgnIntegrator,
-                                                LearnedScaleDenorm, _gather3)
+                                                LearnedScaleDenorm, gather3)
 from gnn_fluid_dynamics_tpu.models.fvgn import FvgnA, _f, _z
 from gnn_fluid_dynamics_tpu.models.losses import combined_log_loss, mse_per_element
 from gnn_fluid_dynamics_tpu.ops import fvm
@@ -99,8 +99,8 @@ class FluxA(FvgnA):
         if mode == "rollout":
             bundle = norm.normalize_outputs(bundle, self.nmap, self.stats,
                                             inverse=True)
-        cell_flux = fvm.face_flux_to_cell_flux(
-            bundle["face_out"][:, 3:4], graph.face_index, graph.cell_face_sign)
+        cell_flux = fvm.face_flux_to_cell_flux_g(
+            bundle["face_out"][:, 3:4], graph)
         outputs = {
             "cell_velocity_change": bundle["cell_out"][:, 0:2],
             "face_velocity": bundle["face_out"][:, 0:2],
@@ -215,14 +215,14 @@ class _FluxCModule(nn.Module):
         phi = face_out[:, 1:2]
         flux_d = face_out[:, 2:4]
         # unsigned advective term u_f * phi_f per local face (Flux.py:400-403)
-        uvf = _gather3(uv_face, graph.face_index)
-        phif = _gather3(phi, graph.face_index)
-        phi_a = jnp.sum(uvf * phif, axis=1)
-        phi_dd = jnp.sum(_gather3(flux_d, graph.face_index), axis=1)
         face_area = FaceAreaNorm(name="face_area_norm")(graph, train)
-        e = _gather3(face_area, graph.face_index)
-        phi_p = jnp.sum(_gather3(p, graph.face_index) * graph.cell_normal * e,
-                        axis=1)
+        g = gather3(jnp.concatenate(
+            [uv_face, phi, flux_d, face_area, p], axis=1), graph)  # (C,3,7)
+        uvf, phif = g[..., 0:2], g[..., 2:3]
+        fd, e, pf3 = g[..., 3:5], g[..., 5:6], g[..., 6:7]
+        phi_a = jnp.sum(uvf * phif, axis=1)
+        phi_dd = jnp.sum(fd, axis=1)
+        phi_p = jnp.sum(pf3 * graph.cell_normal * e, axis=1)
         acc = -phi_a - phi_p + phi_dd
         acc = jnp.where(graph.cell_mask[:, None], acc, 0.0)
         return acc, face_out, {"norm_face_area": face_area}
@@ -327,14 +327,14 @@ class _FluxDModule(nn.Module):
         pf = face_out[:, 2:3]
         phi = face_out[:, 3:4]
         flux_d = face_out[:, 4:6]
-        cell_flux = fvm.face_flux_to_cell_flux(phi, graph.face_index,
-                                               graph.cell_face_sign)
-        uvf = _gather3(uv, graph.face_index)
+        g = gather3(jnp.concatenate(
+            [phi, uv, flux_d, graph.face_area.reshape(-1, 1), pf],
+            axis=1), graph)                                        # (C,3,7)
+        cell_flux = g[..., 0:1] * graph.cell_face_sign[..., None]
+        uvf, fd, e, pf3 = g[..., 1:3], g[..., 3:5], g[..., 5:6], g[..., 6:7]
         phi_a = jnp.sum(uvf * cell_flux, axis=1)
-        phi_d = jnp.sum(_gather3(flux_d, graph.face_index), axis=1)
-        e = _gather3(graph.face_area.reshape(-1, 1), graph.face_index)
-        phi_p = jnp.sum(_gather3(pf, graph.face_index) * graph.cell_normal * e,
-                        axis=1)
+        phi_d = jnp.sum(fd, axis=1)
+        phi_p = jnp.sum(pf3 * graph.cell_normal * e, axis=1)
         coeff = jnp.mean(graph.dt) / jnp.maximum(
             graph.cell_volume.reshape(-1, 1), 1e-12)
         acc = coeff * (-phi_a - phi_p / self.rho + self.nu * phi_d)
@@ -360,8 +360,8 @@ class FluxD(FluxA):
         bundle = {"cell_out": acc, "face_out": face_phys}
         if mode != "rollout":
             bundle = norm.normalize_outputs(bundle, self.nmap, self.stats)
-        cell_flux = fvm.face_flux_to_cell_flux(
-            bundle["face_out"][:, 3:4], graph.face_index, graph.cell_face_sign)
+        cell_flux = fvm.face_flux_to_cell_flux_g(
+            bundle["face_out"][:, 3:4], graph)
         outputs = {
             "cell_velocity_change": bundle["cell_out"][:, 0:2],
             "face_velocity": bundle["face_out"][:, 0:2],

@@ -29,7 +29,7 @@ from gnn_fluid_dynamics_tpu.graph import MeshGraph
 from gnn_fluid_dynamics_tpu.models import normalizer as norm
 from gnn_fluid_dynamics_tpu.models.arch import (MLP, ArchConfig, CellBlock,
                                                 Encoder, FaceAreaNorm,
-                                                FaceBlock, VolDtNorm, _gather3)
+                                                FaceBlock, VolDtNorm, gather3)
 from gnn_fluid_dynamics_tpu.models.flux import FluxA
 from gnn_fluid_dynamics_tpu.models.fvgn import _f, _z
 from gnn_fluid_dynamics_tpu.models.losses import combined_log_loss, mse_per_element
@@ -84,14 +84,15 @@ class _VertPotModule(nn.Module):
         if self.integrator == "flux_norm":
             # VertPotA.Integrator (VertPot.py:103-150)
             n = VolDtNorm(name="vol_dt_norm")(graph, train)
-            nf = _gather3(n, graph.face_index)
-            uvf = _gather3(face_out[:, 0:2], graph.face_index)
-            phi_a = jnp.sum(uvf * cell_flux[..., None] * nf, axis=1)
-            phi_d = jnp.sum(_gather3(face_out[:, 3:5], graph.face_index), axis=1)
             area = FaceAreaNorm(name="face_area_norm")(graph, train)
-            e = _gather3(area, graph.face_index)
-            pf = _gather3(face_out[:, 2:3], graph.face_index)
-            phi_p = jnp.sum(pf * graph.cell_normal * e, axis=1)
+            g = gather3(jnp.concatenate(
+                [n, face_out[:, 0:2], face_out[:, 3:5], area,
+                 face_out[:, 2:3]], axis=1), graph)          # (C, 3, 7)
+            nf, uvf = g[..., 0:1], g[..., 1:3]
+            phi_a = jnp.sum(uvf * cell_flux[..., None] * nf, axis=1)
+            phi_d = jnp.sum(g[..., 3:5], axis=1)
+            phi_p = jnp.sum(g[..., 6:7] * graph.cell_normal * g[..., 5:6],
+                            axis=1)
             acc = -phi_a - phi_p + phi_d
             extras["norm_face_area"] = area
         elif self.integrator == "fluxC":
@@ -99,28 +100,30 @@ class _VertPotModule(nn.Module):
             # (VertPot.py:368-409)
             uv_face = cell_to_face(cell_x[:, 0:2], graph.cell_edge_index,
                                    graph.face_pos, graph.cell_pos)
-            uvf = _gather3(uv_face, graph.face_index)
-            phi_a = jnp.sum(uvf * cell_flux[..., None], axis=1)
-            phi_d = jnp.sum(_gather3(face_out[:, 1:3], graph.face_index), axis=1)
             area = FaceAreaNorm(name="face_area_norm")(graph, train)
-            e = _gather3(area, graph.face_index)
-            pf = _gather3(face_out[:, 0:1], graph.face_index)
-            phi_p = jnp.sum(pf * graph.cell_normal * e, axis=1)
+            g = gather3(jnp.concatenate(
+                [uv_face, face_out[:, 1:3], area, face_out[:, 0:1]],
+                axis=1), graph)                              # (C, 3, 6)
+            phi_a = jnp.sum(g[..., 0:2] * cell_flux[..., None], axis=1)
+            phi_d = jnp.sum(g[..., 2:4], axis=1)
+            phi_p = jnp.sum(g[..., 5:6] * graph.cell_normal * g[..., 4:5],
+                            axis=1)
             acc = -phi_a - phi_p + phi_d
             extras["norm_face_area"] = area
         elif self.integrator == "physical":
             # VertPotB.Integrator (VertPot.py:283-319)
-            area3 = _gather3(graph.face_area.reshape(-1, 1), graph.face_index)
-            uvf = _gather3(face_out[:, 0:2], graph.face_index)
-            phi_a = jnp.sum(uvf * cell_flux[..., None], axis=1)
             grad = fvm.calc_gradient_tensor(face_out[:, 0:2],
                                             graph.face_grad_weights,
                                             graph.face_grad_neighbours)
-            g = _gather3(grad, graph.face_index).reshape(-1, 3, 2, 2)
+            gg = gather3(jnp.concatenate(
+                [graph.face_area.reshape(-1, 1), face_out[:, 0:2], grad,
+                 face_out[:, 2:3]], axis=1), graph)          # (C, 3, 8)
+            area3, uvf = gg[..., 0:1], gg[..., 1:3]
+            phi_a = jnp.sum(uvf * cell_flux[..., None], axis=1)
+            g = gg[..., 3:7].reshape(-1, 3, 2, 2)
             phi_d = jnp.sum(jnp.einsum("cfkd,cfd->cfk", g, graph.cell_normal)
                             * area3, axis=1)
-            pf = _gather3(face_out[:, 2:3], graph.face_index)
-            phi_p = jnp.sum(pf * graph.cell_normal * area3, axis=1)
+            phi_p = jnp.sum(gg[..., 7:8] * graph.cell_normal * area3, axis=1)
             coeff = jnp.mean(graph.dt) / jnp.maximum(
                 graph.cell_volume.reshape(-1, 1), 1e-12)
             acc = coeff * (-phi_a - phi_p + 1e-3 * phi_d)

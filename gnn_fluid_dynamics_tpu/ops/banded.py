@@ -95,6 +95,8 @@ class BandedTables:
     es_offsets: tuple         # edge -> vertex, send/recv (Pallas backend)
     es_onehot: np.ndarray     # (Tv, 128, Bes)
     er_onehot: np.ndarray
+    fc3_offsets: tuple        # face -> (cell, local slot): target row 3c+j
+    fc3_onehot: np.ndarray    # (T3, 128, Bfc)
 
 
 def build_banded_tables(geom: Dict[str, np.ndarray],
@@ -139,8 +141,17 @@ def build_banded_tables(geom: Dict[str, np.ndarray],
     eoff = np.asarray(es_off, np.int64)
     es = _onehot_fill(vei[0], eF, onesF, Tv, tile, Be, eoff, vei[0] // tile)
     er = _onehot_fill(vei[1], eF, onesF, Tv, tile, Be, eoff, vei[1] // tile)
+
+    # face -> (cell, slot) selector: row 3c+j picks face_index[j, c]. One
+    # einsum replaces the integrators' (C, 3) row gathers (the rollout's
+    # fixed-cost hot spot: TPU row gathers run ~1 row/cycle).
+    fidx = np.asarray(geom["face_index"], np.int64)        # (3, C)
+    fc3_off, fc3_onehot = _build_table(
+        np.arange(3 * C, dtype=np.int64), fidx.T.ravel(),
+        np.ones(3 * C, np.float32), 3 * C, F, tile=tile)
     return BandedTables(hv_off, hv_onehot, vc_off, vc_onehot,
-                        cf_off, cf_row, cf_col, es_off, es, er)
+                        cf_off, cf_row, cf_col, es_off, es, er,
+                        fc3_off, fc3_onehot)
 
 
 # ---------------------------------------------------------------------------

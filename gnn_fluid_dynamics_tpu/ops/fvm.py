@@ -141,3 +141,16 @@ def face_flux_to_cell_flux_dummy(face_index: jax.Array,
     table this is just the table itself."""
     del face_index
     return cell_face_sign[..., None]
+
+
+def face_flux_to_cell_flux_g(face_flux, graph):
+    """Graph-aware :func:`face_flux_to_cell_flux`: uses the fc3 banded
+    selector (one einsum) when the graph carries it, else the row gather."""
+    if getattr(graph, "fc3_onehot", None) is not None:
+        from gnn_fluid_dynamics_tpu.ops.banded import banded_matmul
+        g = banded_matmul(graph.fc3_onehot, graph.fc3_start,
+                          face_flux.reshape(-1, 1), graph.fc3_off)
+        g = g[: 3 * graph.num_cells].reshape(-1, 3, 1)
+        return g * graph.cell_face_sign[..., None]
+    return face_flux_to_cell_flux(face_flux, graph.face_index,
+                                  graph.cell_face_sign)

@@ -66,6 +66,19 @@ class Checkpointer:
         self._write(path, state, meta)
         self._point(os.path.join(self.directory, "latest"), tag)
 
+        # wandb artifact upload (reference logging.py:311-318)
+        if wandb is not None:
+            try:
+                import wandb as _wandb
+                art = _wandb.Artifact(f"model-{os.path.basename(self.directory)}",
+                                      type="model",
+                                      metadata={"mini_epoch":
+                                                trainer.mini_epoch_count})
+                art.add_dir(path)
+                wandb.log_artifact(art)
+            except Exception:
+                pass
+
         err = (valid_losses or {}).get("total_mean_error")
         if self.keep_best and err is not None and err < self.best_error:
             self.best_error = float(err)
