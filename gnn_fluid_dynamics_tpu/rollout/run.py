@@ -48,6 +48,16 @@ def main(argv: Optional[List[str]] = None):
     from gnn_fluid_dynamics_tpu.training.trainer import Trainer, TrainState
 
     config = load_config(args.config)
+    # persistent XLA compilation cache: the flagship train step compiles in
+    # ~30 s; cached, repeat runs start instantly
+    try:
+        cache_dir = os.environ.get("GFD_JAX_CACHE",
+                                   os.path.expanduser("~/.cache/gfd_jax"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 
     # checkpoint: adopt its training config, keep current settings/rollout
     # (reference rollout.py:404-411)
@@ -79,7 +89,8 @@ def main(argv: Optional[List[str]] = None):
                     face_grad_weights_order=config.model.face_grad_weights_order,
                     timestep_stride=config.model.timestep_stride,
                     bundle_size=config.model.bundle_size,
-                    aggregation=config.model.aggregation),
+                    aggregation=config.model.aggregation,
+                    compute_dtype=config.model.compute_dtype),
         loss_weights=config.training.loss_weights)
     model.set_stats(meta["stats"])      # stats come from the checkpoint
 

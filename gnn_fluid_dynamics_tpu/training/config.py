@@ -66,7 +66,8 @@ class ModelSection:
     fpath: Optional[str] = None
     bundle_size: Optional[int] = None
     # TPU-native extras
-    aggregation: str = "segment"
+    aggregation: str = "segment"       # "segment"|"gather"|"banded"|"pallas"
+    compute_dtype: str = "float32"     # "bfloat16" runs the MLP stack on MXU
 
 
 @dataclass

@@ -88,7 +88,18 @@ def main(argv=None):
 
     with open(args.config) as f:
         sweep_cfg = json.load(f)
-    with open(sweep_cfg["base_config"]) as f:
+    base_path = sweep_cfg["base_config"]
+    if not os.path.isabs(base_path) and not os.path.exists(base_path):
+        # resolve relative to the sweep file (and failing that, the repo
+        # root) so the CLI works from any working directory
+        for root in (os.path.dirname(os.path.abspath(args.config)),
+                     os.path.dirname(os.path.dirname(
+                         os.path.dirname(os.path.abspath(__file__))))):
+            cand = os.path.join(root, base_path)
+            if os.path.exists(cand):
+                base_path = cand
+                break
+    with open(base_path) as f:
         base_config = json.load(f)
 
     combos = generate_parameter_combinations(sweep_cfg)

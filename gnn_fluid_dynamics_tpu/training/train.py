@@ -58,7 +58,7 @@ def build_datasets(config, model_cls):
             trajs = load_dataset(path, sim_limit=sim_limit,
                                  sim_index=sim_index, flux_scale=flux_scale,
                                  shuffle=config.dataset.shuffle)
-        if config.model.aggregation == "banded":
+        if config.model.aggregation in ("banded", "pallas"):
             # RCM relabeling narrows the aggregation bands (ops/reorder.py)
             from gnn_fluid_dynamics_tpu.ops.reorder import (rcm_reorder_geometry,
                                                             reorder_fields)
@@ -70,7 +70,11 @@ def build_datasets(config, model_cls):
                            timestep_range=timestep_range,
                            pad_multiple=config.training.pad_multiple,
                            with_incidence=config.model.aggregation == "gather",
-                           with_banded=config.model.aggregation == "banded",
+                           with_banded=config.model.aggregation in
+                           ("banded", "pallas"),
+                           banded_dtype=("bfloat16"
+                                         if config.model.compute_dtype
+                                         == "bfloat16" else "float32"),
                            num_buckets=config.dataset.num_buckets)
 
     train_ds = load(config.training.data_subset,
@@ -151,6 +155,16 @@ def main(argv: Optional[List[str]] = None):
         config.logging.is_debug = True
     if config.settings.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    # persistent XLA compilation cache: the flagship train step compiles in
+    # ~30 s; cached, repeat runs start instantly
+    try:
+        cache_dir = os.environ.get("GFD_JAX_CACHE",
+                                   os.path.expanduser("~/.cache/gfd_jax"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
 
     ckpt_dir = args.ckpt_dir or os.path.join(
         "checkpoints", config.logging.project or "default",
@@ -181,6 +195,7 @@ def main(argv: Optional[List[str]] = None):
                     timestep_stride=config.model.timestep_stride,
                     bundle_size=config.model.bundle_size,
                     aggregation=config.model.aggregation,
+                    compute_dtype=config.model.compute_dtype,
                     dropout_rate=config.training.dropout_rate),
         loss_weights=config.training.loss_weights)
 
