@@ -137,22 +137,29 @@ class MeshDataset:
         self._static_graphs: Dict[str, MeshGraph] = {}
         self._batched_cache: Dict[Tuple[str, ...], MeshGraph] = {}
 
-        # banded tables are built eagerly so the dataset-wide maximum band
-        # width is known up front: every graph's tables are padded to it,
-        # making the training jaxpr independent of which meshes share a batch
+        # banded tables are built eagerly and CANONICALIZED per bucket:
+        # every mesh sharing a padded shape gets identical per-tile band
+        # offsets, so banded specs are static (constant-slice fast path)
+        # yet independent of which meshes share a batch — one compile per
+        # bucket shape instead of one per mesh combination
         self._tables_cache: Dict[Tuple, Any] = {}
-        self._band_pad: Optional[Dict[str, int]] = None
         if with_banded:
-            bmax = {"hv": 0, "vc": 0, "cf": 0, "es": 0, "fc3": 0}
-            for t in self.trajectories:
-                tbl = self._tables_for(
-                    t.mesh_id, self.bucket_pad[self.bucket_of[t.mesh_id]])
-                bmax["hv"] = max(bmax["hv"], tbl.hv_onehot.shape[2])
-                bmax["vc"] = max(bmax["vc"], tbl.vc_onehot.shape[2])
-                bmax["cf"] = max(bmax["cf"], tbl.cf_row_onehot.shape[2])
-                bmax["es"] = max(bmax["es"], tbl.es_onehot.shape[2])
-                bmax["fc3"] = max(bmax["fc3"], tbl.fc3_onehot.shape[2])
-            self._band_pad = bmax
+            for b, pad in enumerate(self.bucket_pad):
+                members = [t.mesh_id for t in self.trajectories
+                           if self.bucket_of[t.mesh_id] == b]
+                self._ensure_canon(pad, members)
+
+    def _ensure_canon(self, pad: Dict[str, int], members):
+        from gnn_fluid_dynamics_tpu.ops.banded import canonicalize_tables
+        key = ("canon", pad["cell"], pad["face"], pad["vertex"],
+               frozenset(members))
+        if self._tables_cache.get(key):
+            return
+        tbls = [self._tables_for(m, pad) for m in members]
+        for m, t in zip(members, canonicalize_tables(tbls)):
+            self._tables_cache[(m, pad["cell"], pad["face"],
+                                pad["vertex"])] = t
+        self._tables_cache[key] = True
 
     def _tables_for(self, mesh_id: str, pad: Dict[str, int]):
         from gnn_fluid_dynamics_tpu.graph import banded_tables_for
@@ -161,6 +168,20 @@ class MeshDataset:
             self._tables_cache[key] = banded_tables_for(
                 self.by_id[mesh_id].geom, pad)
         return self._tables_cache[key]
+
+    def _canon_tables(self, mesh_id: str, pad: Dict[str, int]):
+        """Canonicalized tables for this mesh at these pad sizes; for pad
+        sets outside the buckets (the all-mesh rollout pad), canonicalize
+        across every trajectory on first use."""
+        all_ids = [t.mesh_id for t in self.trajectories]
+        b = self.bucket_of[mesh_id]
+        bucket_ids = [t.mesh_id for t in self.trajectories
+                      if self.bucket_of[t.mesh_id] == b]
+        if pad != self.bucket_pad[b] or not self._tables_cache.get(
+                ("canon", pad["cell"], pad["face"], pad["vertex"],
+                 frozenset(bucket_ids))):
+            self._ensure_canon(pad, all_ids)
+        return self._tables_for(mesh_id, pad)
 
     def __len__(self):
         return len(self.sample_map)
@@ -185,9 +206,8 @@ class MeshDataset:
                 with_incidence=self.with_incidence,
                 with_banded=self.with_banded,
                 banded_dtype=jnp.dtype(self.banded_dtype),
-                banded_static=False,
-                band_pad=self._band_pad,
-                banded_tables=(self._tables_for(mesh_id, pad)
+                banded_static=True,
+                banded_tables=(self._canon_tables(mesh_id, pad)
                                if self.with_banded else None))
         return self._static_graphs[key]
 

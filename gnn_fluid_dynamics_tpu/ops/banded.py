@@ -97,6 +97,7 @@ class BandedTables:
     er_onehot: np.ndarray
     fc3_offsets: tuple        # face -> (cell, local slot): target row 3c+j
     fc3_onehot: np.ndarray    # (T3, 128, Bfc)
+    sources: dict = None      # table -> source count (offset clamp bound)
 
 
 def build_banded_tables(geom: Dict[str, np.ndarray],
@@ -151,7 +152,9 @@ def build_banded_tables(geom: Dict[str, np.ndarray],
         np.ones(3 * C, np.float32), 3 * C, F, tile=tile)
     return BandedTables(hv_off, hv_onehot, vc_off, vc_onehot,
                         cf_off, cf_row, cf_col, es_off, es, er,
-                        fc3_off, fc3_onehot)
+                        fc3_off, fc3_onehot,
+                        sources={"hv": 2 * F, "vc": V, "cf": C,
+                                 "es": F, "fc3": F})
 
 
 # ---------------------------------------------------------------------------
@@ -222,3 +225,44 @@ def pad_band_width(onehot: np.ndarray, B: int) -> np.ndarray:
         return onehot
     pad = [(0, 0), (0, 0), (0, B - onehot.shape[2])]
     return np.pad(onehot, pad)
+
+
+_TABLE_GROUPS = (("hv", "hv_offsets", ("hv_onehot",)),
+                 ("vc", "vc_offsets", ("vc_onehot",)),
+                 ("cf", "cf_offsets", ("cf_row_onehot", "cf_col_onehot")),
+                 ("es", "es_offsets", ("es_onehot", "er_onehot")),
+                 ("fc3", "fc3_offsets", ("fc3_onehot",)))
+
+
+def canonicalize_tables(tables):
+    """Give every mesh's tables IDENTICAL per-tile band offsets.
+
+    Meshes sharing a padded bucket shape get per-tile offsets = min across
+    meshes and a band width covering every mesh (one-hot columns shifted
+    accordingly). With shared offsets the banded specs are static AND
+    batch-composition-independent, so training runs the fast constant-slice
+    path with one compile per bucket — the traced-offset fallback lowers to
+    a serial while loop on TPU (~100 us per table application)."""
+    tables = list(tables)
+    if len(tables) == 1:
+        return tables
+    out = [dataclasses.replace(t) for t in tables]
+    for name, off_key, oh_keys in _TABLE_GROUPS:
+        offs = np.array([getattr(t, off_key) for t in tables])   # (M, T)
+        Bs = np.array([getattr(t, oh_keys[0]).shape[2] for t in tables])
+        S = max(t.sources[name] for t in tables)
+        canon = offs.min(axis=0)
+        B = int(np.max(offs + Bs[:, None] - canon[None, :]))
+        B = min(_round_up(B, 128), _round_up(max(S, 1), 128))
+        canon = np.minimum(canon, max(S - B, 0))
+        for m, t in enumerate(out):
+            shifts = offs[m] - canon
+            setattr(t, off_key, tuple(int(o) for o in canon))
+            for key in oh_keys:
+                old = getattr(tables[m], key)
+                new = np.zeros((old.shape[0], old.shape[1], B), old.dtype)
+                for ti in range(old.shape[0]):
+                    sh = int(shifts[ti])
+                    new[ti, :, sh: sh + old.shape[2]] = old[ti]
+                setattr(t, key, new)
+    return out

@@ -275,8 +275,11 @@ def test_banded_dynamic_heterogeneous_batch():
                                 fields=dict(fields)))
     ds = MeshDataset(trajs, pad_multiple=128, with_banded=True)
     batch = ds.get_batch([("m0", 0), ("m1", 0)])
-    # training form: dynamic offsets only
-    assert all(len(s) == 2 for s in batch.hv_start)
+    # canonicalized static offsets: both meshes share one per-tile offset
+    # tuple, so any mesh combination reuses the same jaxpr
+    assert all(len(s) == 3 for s in batch.hv_start)
+    assert batch.hv_start[0] == batch.hv_start[1]
+    assert batch.cf_start[0] == batch.cf_start[1]
 
     model_seg = make_model("FvgnA", batch)
     _, feats = model_seg.transform_features(batch, None, mode="rollout")
