@@ -164,3 +164,66 @@ def test_map_openfoam_phi_sign_correction():
     np.testing.assert_allclose(out2[interior, 0], -1.0)
     # boundary faces untouched (zero)
     np.testing.assert_allclose(out[geom["face_boundary_mask"], 0], 0.0)
+
+
+def test_tfrecord_converter_roundtrip(tmp_path):
+    """Write a tiny DeepMind-schema tfrecord and convert it to canonical h5
+    (covers data/cylinderflow.convert_tfrecord end to end)."""
+    tf = pytest.importorskip("tensorflow")
+    import json
+    import numpy as np
+    from gnn_fluid_dynamics_tpu.data.cylinderflow import convert_tfrecord
+    from gnn_fluid_dynamics_tpu.data.hdf5 import load_dataset
+    from gnn_fluid_dynamics_tpu.data.synthetic import structured_channel_mesh
+
+    pos, cells, _ = structured_channel_mesh(nx=5, ny=4)
+    pos = pos.astype(np.float32)
+    cells = cells.astype(np.int32)
+    V, T = pos.shape[0], 4
+    ntype = np.zeros((V, 1), np.int32)
+    vel = np.random.RandomState(0).rand(T, V, 2).astype(np.float32)
+    prs = np.random.RandomState(1).rand(T, V, 1).astype(np.float32)
+
+    meta = {
+        "trajectory_length": T,
+        "field_names": ["mesh_pos", "cells", "node_type", "velocity",
+                        "pressure"],
+        "features": {
+            "mesh_pos": {"type": "static", "shape": [1, V, 2],
+                         "dtype": "float32"},
+            "cells": {"type": "static", "shape": [1, cells.shape[0], 3],
+                      "dtype": "int32"},
+            "node_type": {"type": "static", "shape": [1, V, 1],
+                          "dtype": "int32"},
+            "velocity": {"type": "dynamic", "shape": [T, V, 2],
+                         "dtype": "float32"},
+            "pressure": {"type": "dynamic", "shape": [T, V, 1],
+                         "dtype": "float32"},
+        },
+    }
+    meta_path = tmp_path / "meta.json"
+    meta_path.write_text(json.dumps(meta))
+
+    def bytes_feature(arr):
+        return tf.train.Feature(bytes_list=tf.train.BytesList(
+            value=[arr.tobytes()]))
+
+    ex = tf.train.Example(features=tf.train.Features(feature={
+        "mesh_pos": bytes_feature(pos[None]),
+        "cells": bytes_feature(cells[None]),
+        "node_type": bytes_feature(ntype[None]),
+        "velocity": bytes_feature(vel),
+        "pressure": bytes_feature(prs),
+    }))
+    rec = tmp_path / "train.tfrecord"
+    with tf.io.TFRecordWriter(str(rec)) as w:
+        w.write(ex.SerializeToString())
+
+    out_h5 = tmp_path / "train.h5"
+    trajs = convert_tfrecord(str(rec), str(meta_path), str(out_h5))
+    assert len(trajs) == 1
+    loaded = load_dataset(str(out_h5))
+    assert len(loaded) == 1
+    t = loaded[0]
+    assert t.fields["cell_velocity"].shape[0] == T
+    assert np.isfinite(t.fields["cell_velocity"]).all()
