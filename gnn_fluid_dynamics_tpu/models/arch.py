@@ -30,6 +30,10 @@ class ArchConfig:
     share_blocks: bool = False        # FvgnF: one GN block applied mp_num times
     aggregation: str = "segment"      # "segment" | "gather" edge->vertex layout
     step_scalar: bool = False         # FvgnF: append normalized step index
+    remat: bool = False               # jax.checkpoint each GN block: trades
+    #                                   ~mp_num x block FLOPs in backward for
+    #                                   O(1) activation memory — deep
+    #                                   processors / big meshes fit in HBM
     compute_dtype: str = "float32"    # "bfloat16" runs the MLP stack on the
     #                                   MXU in bf16 (params stay fp32); the
     #                                   physics/integrator path stays fp32
@@ -264,8 +268,12 @@ class EncodeProcessDecode(nn.Module):
     def __call__(self, cell_x, face_x, graph: MeshGraph, train: bool = False):
         cell_attr, edge_attr = Encoder(self.cfg)(cell_x, face_x, train)
 
+        # explicit names keep the param tree (and checkpoints) identical
+        # with and without rematerialization
+        maybe_remat = (nn.remat(GNBlock, static_argnums=(4,))
+                       if self.cfg.remat else GNBlock)
         if self.cfg.share_blocks:
-            block = GNBlock(self.cfg)
+            block = maybe_remat(self.cfg, name="GNBlock_0")
             for i in range(self.cfg.mp_num):
                 extra = None
                 if self.cfg.step_scalar:
@@ -274,8 +282,9 @@ class EncodeProcessDecode(nn.Module):
                 cell_attr, edge_attr = block(cell_attr, edge_attr, graph,
                                              extra, train)
         else:
-            for _ in range(self.cfg.mp_num):
-                cell_attr, edge_attr = GNBlock(self.cfg)(
+            for i in range(self.cfg.mp_num):
+                cell_attr, edge_attr = maybe_remat(
+                    self.cfg, name=f"GNBlock_{i}")(
                     cell_attr, edge_attr, graph, None, train)
 
         face_out = cell_out = None

@@ -35,6 +35,7 @@ class ModelConfig:
     fpath: Optional[str] = None
     # TPU-native extras
     aggregation: str = "segment"      # "segment" | "gather"
+    remat: bool = False               # rematerialize GN blocks in backward
     dropout_rate: float = 0.0
     num_face_types: int = 5
     compute_dtype: str = "float32"    # "bfloat16" for MXU-rate MLPs
@@ -55,6 +56,7 @@ class FluidModel:
         self.arch = ArchConfig(
             hidden=config.hidden_width, mp_num=config.mp_num,
             dropout_rate=config.dropout_rate, aggregation=config.aggregation,
+            remat=config.remat,
             block_order=self.block_order(), share_blocks=self.share_blocks(),
             step_scalar=self.step_scalar(), compute_dtype=config.compute_dtype)
         self.nmap = self.normalisation_map()

@@ -16,14 +16,21 @@ hv (via es/er)  17.8 us       17.7 us
 cf (row+col)    20.0 us       22.5 us (tile=256)
 ==============  ============  ===========================
 
-End-to-end 600-step rollout (bench.py): 846 steps/s XLA banded vs 688
-steps/s Pallas. At this mesh scale the XLA static-slice path is already
-near the memory-bound floor and Pallas per-program overhead (~0.3us x T
-tiles) eats the savings from skipping band materialization, so
-``aggregation="banded"`` remains the default; this backend
-(``aggregation="pallas"``) is kept for larger meshes, where band traffic
-grows linearly but kernel overhead does not, and as the template for
-further fusion work.
+End-to-end 600-step rollouts (bench.py, FluxD hidden 128 mp 15):
+
+=============  ===========  ============================
+mesh           XLA banded   Pallas fused (int8 tables)
+=============  ===========  ============================
+~3.5k cells    1320 st/s    688 st/s
+~14k cells     261 st/s     314 st/s (and 3x faster compile)
+=============  ===========  ============================
+
+At small scale the XLA static-slice path is near the memory-bound floor
+and Pallas per-program overhead (~0.3us x T tiles) eats the savings from
+skipping band materialization; past ~10k cells band traffic (linear in
+mesh size) dominates the fixed overhead and the fused kernels win. The
+default stays ``aggregation="banded"``; switch to ``"pallas"`` for
+production-size meshes.
 
 Safety invariant: band offsets satisfy ``off + B <= num_sources`` (enforced
 in ``banded._build_table``) — an out-of-bounds DMA does not fault cleanly,

@@ -68,6 +68,7 @@ class ModelSection:
     # TPU-native extras
     aggregation: str = "segment"       # "segment"|"gather"|"banded"|"pallas"
     compute_dtype: str = "float32"     # "bfloat16" runs the MLP stack on MXU
+    remat: bool = False                # jax.checkpoint each GN block
 
 
 @dataclass

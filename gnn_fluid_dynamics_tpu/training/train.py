@@ -196,6 +196,7 @@ def main(argv: Optional[List[str]] = None):
                     bundle_size=config.model.bundle_size,
                     aggregation=config.model.aggregation,
                     compute_dtype=config.model.compute_dtype,
+                    remat=config.model.remat,
                     dropout_rate=config.training.dropout_rate),
         loss_weights=config.training.loss_weights)
 

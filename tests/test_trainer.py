@@ -145,3 +145,37 @@ def test_bucketed_dataset_and_prefetch():
     # mixed-bucket batch (rollout style) falls back to the global pad
     g_all = ds.get_batch([(m, 0) for m in ds.sim_ids()])
     assert g_all.num_cells == 4 * ds.pad_to["cell"]
+
+
+def test_remat_training_matches_loss():
+    """remat=True (jax.checkpoint per GN block) must not change the loss."""
+    import jax
+    import numpy as np
+    from gnn_fluid_dynamics_tpu.models import get_model_class
+    from gnn_fluid_dynamics_tpu.models.base import ModelConfig
+    from test_models import build_graph, make_model
+
+    g = build_graph()
+    m0 = make_model("FvgnA", g)
+    m1 = make_model("FvgnA", g, remat=True)
+    tg, feats = m0.transform_features(g, None, mode="train")
+    v = m0.init(jax.random.PRNGKey(3), tg, feats)
+
+    def loss_of(m):
+        def f(params):
+            out, _ = m.forward({"params": params,
+                                "batch_stats": v.get("batch_stats", {})},
+                               tg, feats, mode="train",
+                               rngs={"dropout": jax.random.PRNGKey(0)})
+            return m.loss(out, feats, tg)["total_log_loss"]
+        val, grad = jax.value_and_grad(f)(v["params"])
+        return float(val), grad
+
+    l0, g0 = loss_of(m0)
+    l1, g1 = loss_of(m1)
+    np.testing.assert_allclose(l1, l0, rtol=1e-6)
+    a = jax.tree.leaves(g0)
+    b = jax.tree.leaves(g1)
+    for x, y in zip(a, b):
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x),
+                                   rtol=1e-5, atol=1e-6)
