@@ -28,7 +28,7 @@ def main():
     parser.add_argument("--model", type=str, default="FluxD")
     parser.add_argument("--n-points", type=int, default=2400)
     parser.add_argument("--aggregation", type=str, default="banded",
-                        choices=["segment", "gather", "banded", "pallas"])
+                        choices=["segment", "gather", "banded", "pallas", "auto"])
     parser.add_argument("--banded-dtype", type=str, default=None,
                         help="table storage dtype (default: --dtype; "
                              "'int8' for the pallas backend)")
@@ -48,7 +48,7 @@ def main():
 
     # cylinder-in-channel mesh at DeepMind cylinder-flow scale (~3.5k cells)
     geom = make_geometry("cylinder", n_points=args.n_points, seed=0)
-    if args.aggregation in ("banded", "pallas"):
+    if args.aggregation in ("banded", "pallas", "auto"):
         # RCM relabeling narrows the aggregation bands (ops/reorder.py)
         from gnn_fluid_dynamics_tpu.ops.reorder import rcm_reorder_geometry
         geom = rcm_reorder_geometry(geom)
@@ -57,7 +57,7 @@ def main():
     traj = Trajectory(mesh_id="mesh_0", geom=geom, fields=fields)
     ds = MeshDataset([traj], pad_multiple=256,
                      with_incidence=args.aggregation == "gather",
-                     with_banded=args.aggregation in ("banded", "pallas"),
+                     with_banded=args.aggregation in ("banded", "pallas", "auto"),
                      banded_dtype=args.banded_dtype or args.dtype)
 
     loss_weights = {"continuity": 0.0, "cell_velocity_change": 10.0,

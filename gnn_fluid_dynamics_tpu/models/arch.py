@@ -117,12 +117,29 @@ def aggregate_faces_to_cells(edge_attr: jax.Array, graph: MeshGraph,
     return jnp.sum(e * w[..., None], axis=1)
 
 
+AUTO_PALLAS_MIN_CELLS = 10240   # measured crossover (PERF.md): fused Pallas
+#                                 kernels beat the XLA banded path past ~10k
+#                                 cells on v5e
+
+
+def _resolve_aggregation(aggregation: str, graph: MeshGraph) -> str:
+    if aggregation != "auto":
+        return aggregation
+    if graph.hv_onehot is None:
+        return "segment"
+    if (graph.num_cells >= AUTO_PALLAS_MIN_CELLS
+            and jax.default_backend() == "tpu"):
+        return "pallas"
+    return "banded"
+
+
 def aggregate_twice_mp(edge_attr: jax.Array, graph: MeshGraph,
                        aggregation: str) -> jax.Array:
     """The reference's 'twice message passing': chunk edge latents into
     forward/reverse halves, scatter onto vertices, average each cell's 3
     vertices (``Fvgn.py:305-321``). Returns (C, H/2)."""
     H = edge_attr.shape[-1]
+    aggregation = _resolve_aggregation(aggregation, graph)
     if aggregation == "pallas" and graph.es_onehot is not None:
         from gnn_fluid_dynamics_tpu.ops.pallas_agg import (
             aggregate_edges_to_vertices_pallas,
@@ -150,6 +167,7 @@ def gather_face_cells(cell_attr: jax.Array, graph: MeshGraph,
                       aggregation: str):
     """(x[owner], x[neighbour]) per face — banded einsum when available, else
     row gathers."""
+    aggregation = _resolve_aggregation(aggregation, graph)
     if aggregation == "pallas" and graph.cf_row_onehot is not None:
         from gnn_fluid_dynamics_tpu.ops.pallas_agg import (
             gather_face_cells_pallas)

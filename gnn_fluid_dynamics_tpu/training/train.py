@@ -58,7 +58,7 @@ def build_datasets(config, model_cls):
             trajs = load_dataset(path, sim_limit=sim_limit,
                                  sim_index=sim_index, flux_scale=flux_scale,
                                  shuffle=config.dataset.shuffle)
-        if config.model.aggregation in ("banded", "pallas"):
+        if config.model.aggregation in ("banded", "pallas", "auto"):
             # RCM relabeling narrows the aggregation bands (ops/reorder.py)
             from gnn_fluid_dynamics_tpu.ops.reorder import (rcm_reorder_geometry,
                                                             reorder_fields)
@@ -71,7 +71,7 @@ def build_datasets(config, model_cls):
                            pad_multiple=config.training.pad_multiple,
                            with_incidence=config.model.aggregation == "gather",
                            with_banded=config.model.aggregation in
-                           ("banded", "pallas"),
+                           ("banded", "pallas", "auto"),
                            banded_dtype=("bfloat16"
                                          if config.model.compute_dtype
                                          == "bfloat16" else "float32"),
