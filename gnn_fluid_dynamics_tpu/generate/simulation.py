@@ -49,11 +49,11 @@ def simulate_projection(geom: Dict[str, np.ndarray], params: Dict,
     parabolic u; walls: no-slip; outlet: p = 0. Returns time-major field dict
     in the canonical layout.
 
-    KNOWN LIMITATION: stable and physical on quality meshes (validated on
-    structured channel meshes: bounded energy, flux divergence ~1e-12); the
-    quick Delaunay obstacle meshes from ``data.synthetic`` still trigger a
-    slow instability at their worst cells — use gmsh meshes (or OpenFOAM) for
-    production obstacle data.
+    Stable on structured channel meshes (bounded energy, flux divergence
+    ~1e-12) AND on the quick Delaunay obstacle meshes from ``data.synthetic``
+    (adaptive CFL substepping + the momentum-consistent face-normal LSQ
+    pressure gradient close the sliver-cell pressure/velocity feedback loop
+    that previously blew them up).
     """
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
@@ -93,13 +93,20 @@ def simulate_projection(geom: Dict[str, np.ndarray], params: Dict,
     gface_ = geom["face_index"].T
     sum_area = area[gface_].sum(axis=1)
     sum_coef = (area / dist_on)[gface_].sum(axis=1)
-    u_scale = 2.5 * params["u_in"]
-    dt_adv = float((vol / (u_scale * sum_area)).min())
     dt_diff = float((vol / (2.0 * nu * sum_coef + 1e-12)).min())
-    dt_stable = 0.4 * min(dt_adv, dt_diff)
     dt_save_total = params["dt"] * save_every
-    n_sub = max(1, int(np.ceil(dt_save_total / dt_stable)))
-    dt = dt_save_total / n_sub
+
+    def stable_dt(u_now):
+        # ADAPTIVE advective bound from the actual velocity field: flow
+        # around the obstacle accelerates past any fixed multiple of u_in,
+        # and a fixed bound turns into a local CFL runaway at the worst
+        # sliver cell (grows slowly, then blows up)
+        u_scale = max(2.5 * params["u_in"], 1.5 * float(np.abs(u_now).max()))
+        dt_adv = float((vol / (u_scale * sum_area)).min())
+        return 0.4 * min(dt_adv, dt_diff)
+
+    n_sub0 = max(1, int(np.ceil(dt_save_total / stable_dt(
+        np.full((1, 2), params["u_in"])))))
 
     inflow = ftype == NodeType.INFLOW
     outflow = ftype == NodeType.OUTFLOW
@@ -111,11 +118,6 @@ def simulate_projection(geom: Dict[str, np.ndarray], params: Dict,
     u_bc_full = np.zeros((F, 2))
     u_bc_full[inflow, 0] = inlet_profile(fpos[inflow, 1])
 
-    # MLS gradient stencil for the cell pressure correction — least-squares
-    # over k neighbours stays well-conditioned on sliver cells where compact
-    # Green-Gauss / RT0 operators amplify noise
-    from gnn_fluid_dynamics_tpu.ops.mls import compute_mls_weights
-    mls_nb, mls_w = compute_mls_weights(cpos, 1)
 
     # pressure Poisson operator: sum_f area/dist * (p_n - p_o) = div(u*)/dt
     rows, cols, vals = [], [], []
@@ -149,67 +151,93 @@ def simulate_projection(geom: Dict[str, np.ndarray], params: Dict,
     u_bc = np.zeros((F, 2))
     phi = np.zeros(F)                                     # carried face flux
     bc_fixed = inflow | wall                              # flux fixed by BCs
-    ramp_steps = max(n_sub // 2, 20)                      # smooth inlet start
+    t_ramp = dt_save_total * max(n_sub0 // 2, 20) / max(n_sub0, 1)
+
+    # momentum-consistent LSQ pressure gradient for the cell velocity: fit
+    # the gradient to the SAME face-normal pressure differences that correct
+    # the carried flux, with walls/inflow contributing dp/dn = 0 (the
+    # physical boundary condition). Smooth-field gradients (cell-centred MLS
+    # or Green-Gauss) feed a local pressure<->velocity amplification loop at
+    # the worst sliver cells next to the obstacle (velocity spike -> flux
+    # increment -> pressure spike -> larger gradient) that slowly blows up;
+    # the face-normal-consistent fit closes that loop.
+    unv_gg = geom["cell_normal"].astype(np.float64)        # (C,3,2) outward
+    other_cell = np.where(sign == 1.0, nei[gface], own[gface])   # (C,3)
+    fdist = dist_on[gface]                                 # (C,3)
+    fw = area[gface]                                       # (C,3) LSQ weights
+    M = np.einsum("cf,cfi,cfj->cij", fw, unv_gg, unv_gg)
+    M += 1e-12 * np.eye(2)[None]
+    Minv = np.linalg.inv(M)
+    face_outflow = outflow[gface]
+    face_bnd = (own == nei)[gface]
+
+    def pressure_gradient(pc):
+        dd = np.where(face_bnd,
+                      np.where(face_outflow, 0.0 - pc[:, None], 0.0),
+                      pc[other_cell] - pc[:, None]) / fdist
+        b = np.einsum("cf,cfi,cf->ci", fw, unv_gg, dd)
+        return np.einsum("cij,cj->ci", Minv, b)
 
     debug = bool(int(os.environ.get("GFD_SOLVER_DEBUG", "0")))
     cvs, cps, fvs, fps, fluxes = [], [], [], [], []
-    save_every = n_sub
-    for step in range(num_steps * save_every):
-        if debug and step < 40:
-            print(f"  sub {step}: maxvel={np.abs(uc).max():.3f} "
-                  f"maxdiv={np.abs(flux_divergence(phi)).max():.2e} "
-                  f"maxp={np.abs(pc).max():.2f} dt={dt:.2e} n_sub={n_sub}")
-        ramp = min(1.0, (step + 1) / ramp_steps)
-        u_bc = ramp * u_bc_full
-        # advective: sum_f phi * u_f (upwinded by the carried flux sign)
-        upw = np.where((phi > 0)[:, None], uc[own], uc[nei])
-        upw[inflow] = u_bc[inflow]
-        upw[wall] = 0.0
-        adv = np.add.reduce(
-            (phi[gface] * sign)[..., None] * upw[gface], axis=1)
-        # diffusive: sum_f nu * area/dist * (u_n - u_o) with BC values
-        du = np.where(interior[:, None], uc[nei] - uc[own],
-                      2 * (np.where(wall[:, None], 0.0,
-                                    np.where(inflow[:, None], u_bc, uc[own]))
-                           - uc[own]))
-        dif_f = nu * coef[:, None] * du
-        own_sign_pos = sign == 1.0
-        dif = np.add.reduce(np.where(own_sign_pos[..., None],
-                                     dif_f[gface], -dif_f[gface]), axis=1)
-        u_star = uc + dt / vol[:, None] * (-adv + dif)
+    t = 0.0
+    for save_step in range(num_steps):
+        # re-plan the substep count for this save interval from the current
+        # velocity field (the loop body sees a constant dt per interval)
+        n_sub = max(1, int(np.ceil(dt_save_total / stable_dt(uc))))
+        dt = dt_save_total / n_sub
+        for sub in range(n_sub):
+            if debug and save_step < 3:
+                print(f"  t={t:.4f}: maxvel={np.abs(uc).max():.3f} "
+                      f"maxdiv={np.abs(flux_divergence(phi)).max():.2e} "
+                      f"maxp={np.abs(pc).max():.2f} dt={dt:.2e} "
+                      f"n_sub={n_sub}")
+            t += dt
+            ramp = min(1.0, t / t_ramp)
+            u_bc = ramp * u_bc_full
+            # advective: sum_f phi * u_f (upwinded by the carried flux sign)
+            upw = np.where((phi > 0)[:, None], uc[own], uc[nei])
+            upw[inflow] = u_bc[inflow]
+            upw[wall] = 0.0
+            adv = np.add.reduce(
+                (phi[gface] * sign)[..., None] * upw[gface], axis=1)
+            # diffusive: sum_f nu * area/dist * (u_n - u_o) with BC values
+            du = np.where(interior[:, None], uc[nei] - uc[own],
+                          2 * (np.where(wall[:, None], 0.0,
+                                        np.where(inflow[:, None], u_bc, uc[own]))
+                               - uc[own]))
+            dif_f = nu * coef[:, None] * du
+            own_sign_pos = sign == 1.0
+            dif = np.add.reduce(np.where(own_sign_pos[..., None],
+                                         dif_f[gface], -dif_f[gface]), axis=1)
+            u_star = uc + dt / vol[:, None] * (-adv + dif)
 
-        # incremental flux predictor: carry the divergence-free flux and add
-        # only the velocity *increment*'s interpolated flux — otherwise the
-        # interpolation error re-enters div(phi*) every step and the pressure
-        # scales as O(1/dt) (the classic collocated-grid failure mode)
-        duf = face_values(u_star, bc_override=False) \
-            - face_values(uc, bc_override=False)
-        phi_star = phi + np.sum(duf * nrm, axis=1) * area
-        bc_flux = np.sum(u_bc * nrm, axis=1) * area
-        phi_star = np.where(bc_fixed, np.where(wall, 0.0, bc_flux), phi_star)
-        rhs = flux_divergence(phi_star) / dt
-        pc = solve_p(rhs)
-        dp = np.where(interior, pc[nei] - pc[own],
-                      np.where(outflow, 0.0 - pc[own], 0.0))
-        phi = np.where(bc_fixed, phi_star, phi_star - dt * coef * dp)
-        # cell velocity correction via Green-Gauss gradient (approximate;
-        # the carried flux is the divergence-defining quantity)
-        # cell velocity: MLS pressure-gradient correction of the predictor
-        # (the carried face flux is the divergence-defining quantity)
-        dp_nb = pc[mls_nb] - pc[:, None]
-        gp = np.stack([(mls_w[:, :, 0] * dp_nb).sum(1),
-                       (mls_w[:, :, 1] * dp_nb).sum(1)], axis=1)
-        uc = u_star - dt * gp
+            # incremental flux predictor: carry the divergence-free flux and add
+            # only the velocity *increment*'s interpolated flux — otherwise the
+            # interpolation error re-enters div(phi*) every step and the pressure
+            # scales as O(1/dt) (the classic collocated-grid failure mode)
+            duf = face_values(u_star, bc_override=False) \
+                - face_values(uc, bc_override=False)
+            phi_star = phi + np.sum(duf * nrm, axis=1) * area
+            bc_flux = np.sum(u_bc * nrm, axis=1) * area
+            phi_star = np.where(bc_fixed, np.where(wall, 0.0, bc_flux), phi_star)
+            rhs = flux_divergence(phi_star) / dt
+            pc = solve_p(rhs)
+            dp = np.where(interior, pc[nei] - pc[own],
+                          np.where(outflow, 0.0 - pc[own], 0.0))
+            phi = np.where(bc_fixed, phi_star, phi_star - dt * coef * dp)
+            # cell velocity: momentum-consistent pressure correction (the
+            # carried face flux stays the divergence-defining quantity)
+            uc = u_star - dt * pressure_gradient(pc)
 
-        if step % save_every == 0:
-            uf_out = face_values(uc)
-            pf_out = w0 * pc[own] + w1 * pc[nei]
-            pf_out[outflow] = 0.0
-            cvs.append(uc.copy())
-            cps.append(pc[:, None].copy())
-            fvs.append(uf_out)
-            fps.append(pf_out[:, None].copy())
-            fluxes.append(phi[:, None].copy())
+        uf_out = face_values(uc)
+        pf_out = w0 * pc[own] + w1 * pc[nei]
+        pf_out[outflow] = 0.0
+        cvs.append(uc.copy())
+        cps.append(pc[:, None].copy())
+        fvs.append(uf_out)
+        fps.append(pf_out[:, None].copy())
+        fluxes.append(phi[:, None].copy())
     return {
         "cell_velocity": np.stack(cvs).astype(np.float32),
         "cell_pressure": np.stack(cps).astype(np.float32),

@@ -103,3 +103,26 @@ def test_mesh_refine():
     # refined mesh still builds a valid geometry
     geom = build_geometry(pos2, cells2, vt2, NodeType)
     assert geom["cell_pos"].shape[0] == cells2.shape[0]
+
+
+def test_projection_solver_stable_on_obstacle_mesh():
+    """The built-in solver must stay bounded on a quick Delaunay cylinder
+    mesh (previously a KNOWN LIMITATION: a sliver-cell pressure/velocity
+    feedback loop blew these up within ~60 saved steps)."""
+    import numpy as np
+    from gnn_fluid_dynamics_tpu.data.synthetic import make_geometry
+    from gnn_fluid_dynamics_tpu.generate.simulation import simulate_projection
+
+    geom = make_geometry("cylinder", n_points=900, seed=3)
+    params = {"u_in": 1.0, "rx": 0.1, "ry": 0.1, "Re": 100.0,
+              "ly": float(geom["vertex_pos"][:, 1].max()), "dt": 0.01}
+    f = simulate_projection(geom, params, num_steps=120, save_every=2)
+    v = f["cell_velocity"]
+    assert np.isfinite(v).all()
+    # bounded: flow accelerates around the obstacle but stays physical
+    assert float(np.abs(v[-1]).max()) < 3.0 * params["u_in"]
+    # carried flux stays discretely divergence-free
+    phi = f["face_flux"][-1][:, 0].astype(np.float64)
+    gface = geom["face_index"].T
+    div = np.abs((phi[gface] * geom["cell_face_sign"]).sum(1)).max()
+    assert div < 1e-6, div
