@@ -135,7 +135,11 @@ class MeshDataset:
         self.timestep_range = (start, end)
 
         self._static_graphs: Dict[str, MeshGraph] = {}
+        # bounded: every distinct mesh combination would otherwise pin a
+        # full batched graph (geometry + banded tables) in HBM — with random
+        # multi-mesh batches that exhausts device memory
         self._batched_cache: Dict[Tuple[str, ...], MeshGraph] = {}
+        self._batched_cache_size = 8
 
         # banded tables are built eagerly and CANONICALIZED per bucket:
         # every mesh sharing a padded shape gets identical per-tile band
@@ -214,6 +218,8 @@ class MeshDataset:
     def _batched_static(self, mesh_ids: Tuple[str, ...]) -> MeshGraph:
         if mesh_ids not in self._batched_cache:
             pad = self._pad_for(mesh_ids)
+            while len(self._batched_cache) >= self._batched_cache_size:
+                self._batched_cache.pop(next(iter(self._batched_cache)))
             self._batched_cache[mesh_ids] = batch_graphs(
                 [self._static_graph(m, pad) for m in mesh_ids])
         return self._batched_cache[mesh_ids]

@@ -77,10 +77,49 @@ def per_mesh_batches(dataset, batch_size: int,
             yield [pool[k] for k in order[j:j + batch_size]]
 
 
+def balanced_chunked_batches(dataset, batch_size: int,
+                             rng: np.random.Generator) -> Iterator[List[Sample]]:
+    """One sample per mesh over a fixed chunk of ``batch_size`` meshes,
+    sorted — every batch from a chunk shares ONE mesh combination, so the
+    device-side batched-graph cache always hits (the reference's
+    ChunkedBatchSampler mesh-cache reuse, sampler.py:92-179, taken to its
+    limit). Timesteps are shuffled per mesh; chunks are shuffled per epoch."""
+    by_mesh = defaultdict(list)
+    for sample in dataset.sample_map:
+        by_mesh[sample[0]].append(sample)
+    # chunk within padding buckets so every batch keeps one jit shape
+    buckets = defaultdict(list)
+    for m in by_mesh:
+        buckets[getattr(dataset, "bucket_of", {}).get(m, 0)].append(m)
+    mesh_ids = []
+    for b in rng.permutation(sorted(buckets)):
+        ids = buckets[b]
+        rng.shuffle(ids)
+        while len(ids) % batch_size:
+            ids.append(ids[len(ids) % batch_size - 1])
+        mesh_ids.extend(ids)
+    for i in range(0, len(mesh_ids), batch_size):
+        chunk = sorted(mesh_ids[i:i + batch_size])
+        pools = {}
+        for m in chunk:
+            order = rng.permutation(len(by_mesh[m]))
+            pools.setdefault(m, []).extend(
+                by_mesh[m][k] for k in order)
+        n = min(len(by_mesh[m]) for m in set(chunk))
+        used = {m: 0 for m in chunk}
+        for t in range(n):
+            batch = []
+            for m in chunk:
+                batch.append(pools[m][used[m] % len(pools[m])])
+                used[m] += 1
+            yield batch
+
+
 SAMPLERS = {
     "multi_mesh": multi_mesh_batches,
     "chunked": chunked_batches,
     "per_mesh": per_mesh_batches,
+    "balanced_chunked": balanced_chunked_batches,
 }
 
 

@@ -51,6 +51,7 @@ class DatasetConfig:
     shuffle: bool = True
     # TPU-native extras
     num_buckets: int = 1               # size-bucketed padding groups
+    sampler: str = "balanced_chunked"  # samplers.SAMPLERS key
 
 
 @dataclass

@@ -22,6 +22,7 @@ from flax import struct
 
 from gnn_fluid_dynamics_tpu.data.pipeline import (MeshDataset, rollout_batch,
                                                   train_batches)
+from gnn_fluid_dynamics_tpu.data.samplers import get_sampler
 from gnn_fluid_dynamics_tpu.graph import MeshGraph
 from gnn_fluid_dynamics_tpu.rollout.engine import (RolloutConfig, error_summary,
                                                    rollout_scan)
@@ -213,6 +214,7 @@ class Trainer:
             self._log(vl, prefix="valid")
 
         mini_losses: Dict[str, float] = {}
+        pending_losses: list = []
         me_start = time.time()
         from gnn_fluid_dynamics_tpu.data.pipeline import prefetch
         n_dev = self.dp_mesh.devices.size if self.dp_mesh is not None else 1
@@ -226,9 +228,11 @@ class Trainer:
                 # global batch split across devices (reference train.py:407)
                 per_dev = max(t.batch_size // n_dev, 1)
 
+                sampler = get_sampler(cfg.dataset.sampler)
+
                 def dev_batches():
-                    for samples in train_batches(train_dataset,
-                                                 per_dev * n_dev, np_rng):
+                    for samples in sampler(train_dataset,
+                                           per_dev * n_dev, np_rng):
                         if len(samples) < per_dev * n_dev:
                             continue
                         yield shard_batch(
@@ -238,7 +242,8 @@ class Trainer:
                 batch_iter = dev_batches()
             else:
                 batch_iter = prefetch(
-                    train_batches(train_dataset, t.batch_size, np_rng),
+                    get_sampler(cfg.dataset.sampler)(
+                        train_dataset, t.batch_size, np_rng),
                     train_dataset, size=t.prefetch_buffer)
             for graph in batch_iter:
                 self.step_count += 1
@@ -249,11 +254,16 @@ class Trainer:
                     state, losses = self.dp_train_step(state, graph, lr)
                 else:
                     state, losses = self.train_step(state, graph, lr)
-                for k, v in losses.items():
-                    mini_losses[k] = mini_losses.get(k, 0.0) + float(v)
+                # defer device reads: fetching each loss scalar per step
+                # costs a blocking host<->device round trip
+                pending_losses.append(losses)
 
                 if self.step_count % steps_per_mini_epoch == 0:
                     self.mini_epoch_count += 1
+                    for fetched in jax.device_get(pending_losses):
+                        for k, v in fetched.items():
+                            mini_losses[k] = mini_losses.get(k, 0.0) + float(v)
+                    pending_losses = []
                     me_time = time.time() - me_start
                     # grad/param monitoring (reference train.py:258-277)
                     if self.monitor is not None and self.logger is not None:
