@@ -227,3 +227,28 @@ def test_tfrecord_converter_roundtrip(tmp_path):
     t = loaded[0]
     assert t.fields["cell_velocity"].shape[0] == T
     assert np.isfinite(t.fields["cell_velocity"]).all()
+
+
+def test_balanced_chunked_sampler_single_combo_per_chunk():
+    """balanced_chunked batches must share one sorted mesh combination per
+    chunk (device batched-graph cache reuse) and cover every mesh."""
+    import numpy as np
+    from gnn_fluid_dynamics_tpu.data.samplers import balanced_chunked_batches
+
+    class FakeDS:
+        sample_map = [(f"m{i}", t) for i in range(6) for t in range(10)]
+        bucket_of = {f"m{i}": 0 for i in range(6)}
+
+    rng = np.random.default_rng(0)
+    batches = list(balanced_chunked_batches(FakeDS(), 3, rng))
+    combos = [tuple(m for m, _ in b) for b in batches]
+    assert all(c == tuple(sorted(c)) for c in combos)
+    assert len(set(combos)) == 2                      # 6 meshes / batch 3
+    seen = {m for b in batches for m, _ in b}
+    assert seen == {f"m{i}" for i in range(6)}
+    # each mesh's timesteps are all visited within its chunk
+    per_mesh = {}
+    for b in batches:
+        for m, t in b:
+            per_mesh.setdefault(m, set()).add(t)
+    assert all(len(v) == 10 for v in per_mesh.values())
