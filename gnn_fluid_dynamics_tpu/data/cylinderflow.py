@@ -15,7 +15,6 @@ trajectory. Conversion to the cell/face layout:
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 from typing import Dict, List, Optional, Sequence

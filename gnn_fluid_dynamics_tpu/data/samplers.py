@@ -19,7 +19,7 @@ The TPU pipeline's batches are lists of (mesh_id, timestep) samples fed to
 from __future__ import annotations
 
 from collections import defaultdict
-from typing import Iterator, List, Sequence, Tuple
+from typing import Iterator, List, Tuple
 
 import numpy as np
 

@@ -40,7 +40,8 @@ def have_openfoam() -> bool:
 # ---------------------------------------------------------------------------
 
 def simulate_projection(geom: Dict[str, np.ndarray], params: Dict,
-                        num_steps: int, save_every: int = 1):
+                        num_steps: int, save_every: int = 1,
+                        spinup_saves: int = 0):
     """Chorin projection on the triangular mesh.
 
     Cell-centered u, p; carried divergence-free face flux with incremental
@@ -181,7 +182,7 @@ def simulate_projection(geom: Dict[str, np.ndarray], params: Dict,
     debug = bool(int(os.environ.get("GFD_SOLVER_DEBUG", "0")))
     cvs, cps, fvs, fps, fluxes = [], [], [], [], []
     t = 0.0
-    for save_step in range(num_steps):
+    for save_step in range(num_steps + spinup_saves):
         # re-plan the substep count for this save interval from the current
         # velocity field (the loop body sees a constant dt per interval)
         n_sub = max(1, int(np.ceil(dt_save_total / stable_dt(uc))))
@@ -230,6 +231,11 @@ def simulate_projection(geom: Dict[str, np.ndarray], params: Dict,
             # carried face flux stays the divergence-defining quantity)
             uc = u_star - dt * pressure_gradient(pc)
 
+        if save_step < spinup_saves:
+            # spin-up: the impulsive start produces a large pressure
+            # transient (O(100x) the developed field) that would skew the
+            # dataset statistics and the learned pressure scale
+            continue
         uf_out = face_values(uc)
         pf_out = w0 * pc[own] + w1 * pc[nei]
         pf_out[outflow] = 0.0
@@ -284,6 +290,10 @@ def main(argv=None):
                         default=int(os.environ.get("SLURM_ARRAY_TASK_COUNT", 1)))
     parser.add_argument("--backend", type=str, default="auto",
                         choices=["auto", "openfoam", "builtin"])
+    parser.add_argument("--spinup", type=int, default=10,
+                        help="saved intervals to simulate and discard before "
+                             "recording (flushes the impulsive-start "
+                             "pressure transient)")
     parser.add_argument("--case-template", type=str, default="laminar_ellipse",
                         choices=["laminar_ellipse", "taylor_green",
                                  "turbulent", "manufactured"],
@@ -317,7 +327,8 @@ def main(argv=None):
                               os.path.join(args.out, case), params, args.steps)
         else:
             fields = simulate_projection(geom, params, args.steps,
-                                         save_every=args.save_every)
+                                         save_every=args.save_every,
+                                         spinup_saves=args.spinup)
             out_case = os.path.join(args.out, case)
             os.makedirs(out_case, exist_ok=True)
             np.savez_compressed(os.path.join(out_case, "fields.npz"), **fields)

@@ -12,7 +12,7 @@ captured at construction — nothing is mutated, so every method can sit under
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

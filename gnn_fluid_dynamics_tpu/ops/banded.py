@@ -25,7 +25,7 @@ Tables are built offline in numpy and carried in :class:`MeshGraph`.
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp

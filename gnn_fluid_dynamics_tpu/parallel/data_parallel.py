@@ -17,8 +17,7 @@ the single-chip path with no vmap overhead.
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Dict, Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

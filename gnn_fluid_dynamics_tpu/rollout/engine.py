@@ -97,11 +97,14 @@ def rollout_scan(model, variables: Dict, graph: MeshGraph,
 
     def measure(sol, feats, gt_t, ys, suffix="", sub_step=-1):
         gv, gp = gt_t
+        # argument order matters: the denominator is sum|target|^2, so the
+        # ground truth must be the TARGET (a swapped call divides by the
+        # prediction's magnitude and explodes when predictions are small)
         ys["velocity_error" + suffix] = rel_mse_per_graph(
-            gv, sol["cell_velocity"], graph.cell_mask, graph.cell_batch,
+            sol["cell_velocity"], gv, graph.cell_mask, graph.cell_batch,
             num_graphs)
         ys["pressure_error" + suffix] = rel_mse_per_graph(
-            gp, sol["cell_pressure"], graph.cell_mask, graph.cell_batch,
+            sol["cell_pressure"], gp, graph.cell_mask, graph.cell_batch,
             num_graphs)
         div = _divergence_metric(model, sol, feats, graph, sub_step)
         ys["divergence_error" + suffix] = mse_per_graph(

@@ -20,7 +20,6 @@ import traceback
 from typing import List, Optional
 
 import jax
-import numpy as np
 
 
 def main(argv: Optional[List[str]] = None):

@@ -10,7 +10,6 @@ host-side schedule so schedule changes never recompile.
 
 from __future__ import annotations
 
-import dataclasses
 import time
 from typing import Any, Callable, Dict, Optional
 
@@ -20,8 +19,7 @@ import numpy as np
 import optax
 from flax import struct
 
-from gnn_fluid_dynamics_tpu.data.pipeline import (MeshDataset, rollout_batch,
-                                                  train_batches)
+from gnn_fluid_dynamics_tpu.data.pipeline import (MeshDataset, rollout_batch)
 from gnn_fluid_dynamics_tpu.data.samplers import get_sampler
 from gnn_fluid_dynamics_tpu.graph import MeshGraph
 from gnn_fluid_dynamics_tpu.rollout.engine import (RolloutConfig, error_summary,
