@@ -10,6 +10,7 @@ numpy implementations when no compiler is available.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 from typing import Optional, Tuple
@@ -19,8 +20,14 @@ import numpy as np
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "graph_builder.cpp")
 _LIB_PATH = os.path.join(_HERE, "libgraph_builder.so")
+_HASH_PATH = _LIB_PATH + ".srchash"
 _lib = None
 _lib_failed = False
+
+
+def _src_hash() -> str:
+    with open(_SRC, "rb") as f:
+        return hashlib.sha256(f.read()).hexdigest()
 
 
 def _compile() -> bool:
@@ -29,8 +36,23 @@ def _compile() -> bool:
             ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
              "-o", _LIB_PATH, _SRC],
             check=True, capture_output=True, timeout=120)
+        with open(_HASH_PATH, "w") as f:
+            f.write(_src_hash())
         return True
     except Exception:
+        return False
+
+
+def _binary_is_current() -> bool:
+    """The binary is only trusted if its recorded source hash matches the
+    checked-in source — mtime comparisons are unreliable on fresh checkouts,
+    and a stale/unauditable prebuilt must never load silently."""
+    if not os.path.exists(_LIB_PATH) or not os.path.exists(_HASH_PATH):
+        return False
+    try:
+        with open(_HASH_PATH) as f:
+            return f.read().strip() == _src_hash()
+    except OSError:
         return False
 
 
@@ -39,8 +61,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     global _lib, _lib_failed
     if _lib is not None or _lib_failed:
         return _lib
-    if not os.path.exists(_LIB_PATH) or (
-            os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)):
+    if not _binary_is_current():
         if not _compile():
             _lib_failed = True
             return None
@@ -75,7 +96,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.banded_onehot_fill.argtypes = [i64p, i64p, f32p, ctypes.c_int64,
                                        ctypes.c_int64, ctypes.c_int64,
                                        i32p, f32p]
-    lib.banded_fill_flat.restype = None
+    lib.banded_fill_flat.restype = ctypes.c_int64
     lib.banded_fill_flat.argtypes = [i64p, i64p, f32p, ctypes.c_int64,
                                      ctypes.c_int64, ctypes.c_int64,
                                      i32p, f32p]
@@ -149,5 +170,10 @@ def banded_fill(tgt, src, w, rows: int, tile: int, B: int, offsets):
     w = np.ascontiguousarray(w, np.float32)
     offsets = np.ascontiguousarray(offsets, np.int32)
     onehot = np.zeros((rows, B), np.float32)
-    lib.banded_fill_flat(tgt, src, w, len(tgt), tile, B, offsets, onehot)
+    dropped = lib.banded_fill_flat(tgt, src, w, len(tgt), tile, B, offsets,
+                                   onehot)
+    if dropped:
+        raise ValueError(
+            f"banded_fill: {dropped} entries outside band width {B} — "
+            "band offsets/width are inconsistent with the sources")
     return onehot.reshape(rows // tile, tile, B)

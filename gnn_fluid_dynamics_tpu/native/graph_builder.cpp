@@ -193,14 +193,20 @@ void banded_onehot_fill(const int64_t* indptr, const int64_t* indices,
 
 // Flat-triple variant: (target, source, weight) in any order; offsets are
 // per-tile band starts. onehot is (rows, B) zero-initialized by the caller.
-void banded_fill_flat(const int64_t* tgt, const int64_t* srcs, const float* w,
-                      int64_t nnz, int64_t tile, int64_t B,
-                      const int32_t* offsets, float* onehot) {
+// Returns the number of out-of-band entries that could not be placed — the
+// Python wrapper raises when this is nonzero (a dropped entry means the
+// aggregation silently loses a mesh edge; see ops/banded._build_table).
+int64_t banded_fill_flat(const int64_t* tgt, const int64_t* srcs,
+                         const float* w, int64_t nnz, int64_t tile, int64_t B,
+                         const int32_t* offsets, float* onehot) {
+    int64_t dropped = 0;
     for (int64_t k = 0; k < nnz; ++k) {
         int64_t t = tgt[k] / tile;
         int64_t col = srcs[k] - offsets[t];
         if (col >= 0 && col < B) onehot[tgt[k] * B + col] += w[k];
+        else ++dropped;
     }
+    return dropped;
 }
 
 }  // extern "C" 

@@ -58,19 +58,40 @@ def _build_table(tgt: np.ndarray, src: np.ndarray, w: np.ndarray,
     lo = np.minimum(lo, np.maximum(hi, 0))
 
     # uniform band width = widest tile, rounded to a lane-friendly multiple;
-    # 8-row-aligned offsets keep the slice DMAs sublane-aligned. Offsets are
-    # clamped so off + B <= num_sources: the Pallas kernels DMA straight from
-    # the (padded) source array, and an out-of-bounds DMA wedges the chip.
-    width = int(np.max(hi - lo + 1)) if len(tgt) else 1
+    # 8-row-aligned offsets keep the slice DMAs sublane-aligned. The width is
+    # measured from the ALIGNED starts (aligning lo downward widens the span
+    # by up to lo % 8 — measuring from raw lo dropped entries silently when
+    # the raw width was already a 128 multiple). Offsets are clamped so
+    # off + B <= num_sources: the Pallas kernels DMA straight from the
+    # (padded) source array, and an out-of-bounds DMA wedges the chip.
+    aligned = (lo // 8) * 8
+    width = int(np.max(hi - aligned + 1)) if len(tgt) else 1
     B = min(_round_up(max(width, 1), 128), _round_up(max(num_sources, 1), 128))
-    offsets = np.minimum((lo // 8) * 8, max(num_sources - B, 0))
+    offsets = np.minimum(aligned, max(num_sources - B, 0))
+    if len(tgt):
+        col = src - offsets[tiles]
+        if col.min() < 0 or col.max() >= B:
+            raise AssertionError(
+                f"banded table invariant violated: column range "
+                f"[{col.min()}, {col.max()}] outside band width {B}")
     onehot = _onehot_fill(tgt, src, w, Tn, tile, B, offsets, tiles)
     return tuple(int(o) for o in offsets), onehot
 
 
 def _onehot_fill(tgt, src, w, Tn, tile, B, offsets, tiles):
     """Dense (Tn, tile, B) scatter-add — native C++ when available
-    (``native.banded_fill``), vectorized np.add.at fallback (identical)."""
+    (``native.banded_fill``), vectorized np.add.at fallback (identical).
+    Out-of-band (target, source) entries are a hard error in BOTH paths:
+    a dropped entry means the aggregation loses a mesh edge silently."""
+    if len(tgt):
+        col = np.asarray(src) - np.asarray(offsets)[tiles]
+        bad = (col < 0) | (col >= B)
+        if bad.any():
+            k = int(np.argmax(bad))
+            raise ValueError(
+                f"{int(bad.sum())} banded entries outside band width {B} "
+                f"(first: target {int(tgt[k])}, source {int(src[k])}, "
+                f"band start {int(offsets[tiles[k]])})")
     from gnn_fluid_dynamics_tpu import native
     out = native.banded_fill(tgt, src, w, Tn * tile, tile, B,
                              offsets.astype(np.int32))
@@ -252,9 +273,17 @@ def canonicalize_tables(tables):
         Bs = np.array([getattr(t, oh_keys[0]).shape[2] for t in tables])
         S = max(t.sources[name] for t in tables)
         canon = offs.min(axis=0)
-        B = int(np.max(offs + Bs[:, None] - canon[None, :]))
-        B = min(_round_up(B, 128), _round_up(max(S, 1), 128))
-        canon = np.minimum(canon, max(S - B, 0))
+        # fixpoint: clamping canon down (off + B <= S) can widen the needed
+        # band, which tightens the clamp again; iterate until stable (B is
+        # capped at round_up(S, 128), so this terminates)
+        while True:
+            B = int(np.max(offs + Bs[:, None] - canon[None, :]))
+            B = min(_round_up(B, 128), _round_up(max(S, 1), 128))
+            clamped = np.minimum(canon, max(S - B, 0))
+            if np.array_equal(clamped, canon):
+                break
+            canon = clamped
+        assert int(np.max(offs + Bs[:, None] - canon[None, :])) <= B
         for m, t in enumerate(out):
             shifts = offs[m] - canon
             setattr(t, off_key, tuple(int(o) for o in canon))

@@ -75,3 +75,44 @@ def test_native_banded_fill_matches_numpy():
     ref = np.zeros((Tn, tile, B), np.float32)
     np.add.at(ref.reshape(-1), tgt * B + (src - offsets[tgt // tile]), w)
     np.testing.assert_allclose(got, ref, rtol=1e-6)
+
+def test_banded_fill_raises_on_out_of_band():
+    """Out-of-band entries must be a hard error (both backends), never a
+    silent drop — a dropped entry loses a mesh edge (ADVICE r1)."""
+    import numpy as np
+    import pytest
+    from gnn_fluid_dynamics_tpu import native
+    if not native.native_available():
+        pytest.skip("no native toolchain")
+    tgt = np.array([0], np.int64)
+    src = np.array([200], np.int64)          # band [0, 128) -> col 200 OOB
+    w = np.ones(1, np.float32)
+    offsets = np.zeros(1, np.int32)
+    with pytest.raises(ValueError, match="outside band"):
+        native.banded_fill(tgt, src, w, 128, 128, 128, offsets)
+
+
+def test_build_table_unaligned_lo_wide_span():
+    """Regression for the round-1 band-width bug: when the widest tile's raw
+    span is exactly a 128 multiple but starts at an unaligned row, the
+    8-aligned offset widens the needed band past B; entries were silently
+    dropped. The width must be measured from the aligned starts."""
+    import numpy as np
+    from gnn_fluid_dynamics_tpu.ops.banded import _build_table, banded_matmul
+
+    S = 256
+    # one tile; sources span [5, 132]: raw width 128, aligned start 0 needs 133
+    tgt = np.arange(128, dtype=np.int64)
+    src = (5 + (np.arange(128, dtype=np.int64) % 128)).astype(np.int64)
+    src[-1] = 132
+    w = np.ones(128, np.float32)
+    offsets, onehot = _build_table(tgt, src, w, 128, S)
+    # every entry must be present in the table
+    assert onehot.sum() == 128.0
+    x = np.random.RandomState(0).rand(S, 8).astype(np.float32)
+    spec = ((onehot.shape[0], S, offsets),)
+    out = np.asarray(banded_matmul(
+        np.asarray(onehot), spec, np.asarray(x)))[:128]
+    ref = np.zeros((128, 8), np.float32)
+    np.add.at(ref, tgt, x[src])
+    np.testing.assert_allclose(out, ref, rtol=1e-2, atol=1e-2)
