@@ -486,13 +486,17 @@ class FluxIntegrator(nn.Module):
 
 class LearnedScaleDenorm(nn.Module):
     """Learned per-channel scale/bias output denormalization replacing the
-    z-score inverse (reference ``FvgnJ``, Fvgn.py:1149-1157)."""
+    z-score inverse (reference ``FvgnJ``, Fvgn.py:1149-1157). FluxD disables
+    the biases (constant 0, Flux.py:471-475) — ``learn_bias=False``."""
     channels: int
     init_scale: float = 1.0
+    learn_bias: bool = True
 
     @nn.compact
     def __call__(self, x):
         scale = self.param("scale", nn.initializers.constant(self.init_scale),
                            (self.channels,))
+        if not self.learn_bias:
+            return x * scale
         bias = self.param("bias", nn.initializers.zeros, (self.channels,))
         return x * scale + bias

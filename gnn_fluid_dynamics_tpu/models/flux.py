@@ -314,12 +314,14 @@ class _FluxDModule(nn.Module):
     def __call__(self, cell_x, face_x, graph: MeshGraph, train: bool = False):
         _, raw = EncodeProcessDecode(self.cfg, face_out=6)(
             cell_x, face_x, graph, train)
-        # learned per-channel scales (Flux.py:465-469, init values preserved)
-        u = LearnedScaleDenorm(1, init_scale=0.1, name="velocity_scale_x")(raw[:, 0:1])
-        v = LearnedScaleDenorm(1, init_scale=0.0001, name="velocity_scale_y")(raw[:, 1:2])
-        p = LearnedScaleDenorm(1, init_scale=0.01, name="pressure_scale")(raw[:, 2:3])
-        f = LearnedScaleDenorm(1, init_scale=0.001, name="flux_scale")(raw[:, 3:4])
-        d = LearnedScaleDenorm(2, init_scale=0.01, name="diffusion_scale")(raw[:, 4:6])
+        # learned per-channel scales (Flux.py:465-469, init values preserved);
+        # FluxD's biases are constant 0, not parameters (Flux.py:471-475)
+        kw = dict(learn_bias=False)
+        u = LearnedScaleDenorm(1, init_scale=0.1, name="velocity_scale_x", **kw)(raw[:, 0:1])
+        v = LearnedScaleDenorm(1, init_scale=0.0001, name="velocity_scale_y", **kw)(raw[:, 1:2])
+        p = LearnedScaleDenorm(1, init_scale=0.01, name="pressure_scale", **kw)(raw[:, 2:3])
+        f = LearnedScaleDenorm(1, init_scale=0.001, name="flux_scale", **kw)(raw[:, 3:4])
+        d = LearnedScaleDenorm(2, init_scale=0.01, name="diffusion_scale", **kw)(raw[:, 4:6])
         face_out = jnp.concatenate([u, v, p, f, d], axis=-1)
 
         # physical integrator (Flux.py:557-595)

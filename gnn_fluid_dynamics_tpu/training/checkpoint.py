@@ -38,6 +38,15 @@ class Checkpointer:
         os.makedirs(self.directory, exist_ok=True)
         self.keep_best = keep_best
         self.best_error = float("inf")
+        # restore the best error across resumes so a worse post-resume save
+        # can't demote the recorded best
+        best_ptr = os.path.join(self.directory, "best.json")
+        if os.path.exists(best_ptr):
+            try:
+                with open(best_ptr) as f:
+                    self.best_error = float(json.load(f).get("error", "inf"))
+            except (ValueError, OSError):
+                pass
         self._ckptr = ocp.StandardCheckpointer() if HAVE_ORBAX else None
 
     # ---- save ---------------------------------------------------------------
@@ -82,7 +91,8 @@ class Checkpointer:
         err = (valid_losses or {}).get("total_mean_error")
         if self.keep_best and err is not None and err < self.best_error:
             self.best_error = float(err)
-            self._point(os.path.join(self.directory, "best"), tag)
+            self._point(os.path.join(self.directory, "best"), tag,
+                        error=self.best_error)
         self._cleanup()
 
     def _write(self, path: str, state, meta: Dict):
@@ -105,9 +115,9 @@ class Checkpointer:
         with open(os.path.join(path, "meta.json"), "w") as f:
             json.dump(meta, f, indent=2)
 
-    def _point(self, link: str, tag: str):
+    def _point(self, link: str, tag: str, **extra):
         with open(link + ".json", "w") as f:
-            json.dump({"checkpoint": tag}, f)
+            json.dump({"checkpoint": tag, **extra}, f)
 
     def _cleanup(self):
         """Keep only checkpoints referenced by latest/best (reference

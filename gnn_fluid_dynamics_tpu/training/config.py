@@ -37,6 +37,10 @@ class LoggingConfig:
     use_wandb: bool = False
     use_tensorboard: bool = False
     is_debug: bool = False
+    # TPU-native extra: grad/param monitoring (reference constructs
+    # ModelMonitor unconditionally, train.py:148; here it is switchable
+    # because the jitted step must emit grads as an extra output)
+    use_monitor: bool = True
 
 
 @dataclass

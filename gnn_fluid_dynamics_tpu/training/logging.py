@@ -2,10 +2,10 @@
 
 Functional mirror of the reference ``Logger`` (``src/utils/logging.py:32-366``):
 run naming (project/group/name-timestamp), flat-config + git metadata capture,
-scalar/loss/plot/snapshot logging, debug-mode safety. wandb is optional and
-gated (zero-egress environments log to JSONL + TensorBoard-style event files
-are skipped); every metric always lands in ``metrics.jsonl`` so runs are
-inspectable without external services.
+scalar/loss/plot/snapshot logging, debug-mode safety. wandb and TensorBoard
+are optional sinks (wandb gated for zero-egress environments; TensorBoard via
+tf.summary event files); every metric always lands in ``metrics.jsonl`` so
+runs are inspectable without external services.
 """
 
 from __future__ import annotations
@@ -72,6 +72,18 @@ class Logger:
             except Exception as e:                   # pragma: no cover
                 print(f"wandb unavailable ({e}); falling back to JSONL only")
                 self.wandb = None
+
+        # TensorBoard (reference logging.py:147-177 leaves this a stub; here
+        # it is real): tf.summary event files under <run>/tb, scalars only
+        self.tb = None
+        if config.logging.use_tensorboard:
+            try:
+                import tensorflow as tf
+                self.tb = tf.summary.create_file_writer(
+                    os.path.join(self.directory, "tb"))
+            except Exception as e:                   # pragma: no cover
+                print(f"tensorboard unavailable ({e}); JSONL only")
+                self.tb = None
         self.norm_stats = None
 
     def check_debug_mode_safety(self):
@@ -93,6 +105,14 @@ class Logger:
             step = record.pop("step", None)
             self.wandb.log({k: v for k, v in record.items() if k != "ts"},
                            step=step)
+        if self.tb is not None:
+            import tensorflow as tf
+            step = int(record.get("step", 0))
+            with self.tb.as_default():
+                for k, v in record.items():
+                    if k in ("step", "ts") or not isinstance(v, (int, float)):
+                        continue
+                    tf.summary.scalar(k, v, step=step)
 
     def save_loss(self, losses: Dict[str, float], step: int, prefix: str):
         """(reference logging.py:195-211)"""
@@ -163,3 +183,5 @@ class Logger:
         self._metrics_file.close()
         if self.wandb is not None:
             self.wandb.finish()
+        if self.tb is not None:
+            self.tb.close()

@@ -215,7 +215,15 @@ def main(argv: Optional[List[str]] = None):
         logger = Logger(config, resume_wandb_id=resume_wandb_id)
         logger.set_norm_stats(stats)
 
-    trainer = Trainer(config, model, logger=logger, checkpointer=checkpointer)
+    # grad/param monitor (reference ModelMonitor, train.py:148, 258-277):
+    # active whenever a logger exists, switchable via logging.use_monitor
+    monitor = None
+    if logger is not None and config.logging.use_monitor:
+        from gnn_fluid_dynamics_tpu.training.monitoring import ModelMonitor
+        monitor = ModelMonitor()
+
+    trainer = Trainer(config, model, logger=logger, checkpointer=checkpointer,
+                      monitor=monitor)
     graph0 = train_ds.get_batch(train_ds.sample_map[:config.training.batch_size])
     _, feats0 = model.transform_rollout(graph0)
     state = trainer.init_state(rng, graph0, feats0)

@@ -210,6 +210,7 @@ class Trainer:
         if valid_dataset is not None:
             vl = self.validate(state, valid_dataset, num_valid_steps)
             self._log(vl, prefix="valid")
+            self._last_valid = vl
 
         mini_losses: Dict[str, float] = {}
         pending_losses: list = []
@@ -290,11 +291,15 @@ class Trainer:
                         vl = self.validate(self._host_state(state),
                                            valid_dataset, num_valid_steps)
                         self._log(vl, prefix="valid")
+                        self._last_valid = vl
 
                     if (self.checkpointer is not None and cfg.logging.save_frequency
                             and self.mini_epoch_count % cfg.logging.save_frequency == 0):
+                        # the latest validation result drives 'best' promotion
+                        # (reference logging.py:293-327)
                         self.checkpointer.save(
-                            self._host_state(state), self, mini_losses)
+                            self._host_state(state), self, mini_losses,
+                            valid_losses=getattr(self, "_last_valid", None))
 
                     self._log({"learning_rate": lr,
                                "sample_count": self.sample_count}, prefix="train")
