@@ -122,24 +122,30 @@ AUTO_PALLAS_MIN_CELLS = 10240   # measured crossover (PERF.md): fused Pallas
 #                                 cells on v5e
 
 
-def _resolve_aggregation(aggregation: str, graph: MeshGraph) -> str:
+def _resolve_aggregation(aggregation: str, graph: MeshGraph,
+                         train: bool = False) -> str:
+    # the Pallas kernels are rollout-only (no custom VJP,
+    # ops/pallas_agg.py); any gradient path downgrades to the XLA banded
+    # formulation, which is differentiable and numerically identical
+    if aggregation == "pallas" and train:
+        return "banded" if graph.hv_onehot is not None else "segment"
     if aggregation != "auto":
         return aggregation
     if graph.hv_onehot is None:
         return "segment"
-    if (graph.num_cells >= AUTO_PALLAS_MIN_CELLS
+    if (not train and graph.num_cells >= AUTO_PALLAS_MIN_CELLS
             and jax.default_backend() == "tpu"):
         return "pallas"
     return "banded"
 
 
 def aggregate_twice_mp(edge_attr: jax.Array, graph: MeshGraph,
-                       aggregation: str) -> jax.Array:
+                       aggregation: str, train: bool = False) -> jax.Array:
     """The reference's 'twice message passing': chunk edge latents into
     forward/reverse halves, scatter onto vertices, average each cell's 3
     vertices (``Fvgn.py:305-321``). Returns (C, H/2)."""
     H = edge_attr.shape[-1]
-    aggregation = _resolve_aggregation(aggregation, graph)
+    aggregation = _resolve_aggregation(aggregation, graph, train)
     if aggregation == "pallas" and graph.es_onehot is not None:
         from gnn_fluid_dynamics_tpu.ops.pallas_agg import (
             aggregate_edges_to_vertices_pallas,
@@ -164,10 +170,10 @@ def aggregate_twice_mp(edge_attr: jax.Array, graph: MeshGraph,
 
 
 def gather_face_cells(cell_attr: jax.Array, graph: MeshGraph,
-                      aggregation: str):
+                      aggregation: str, train: bool = False):
     """(x[owner], x[neighbour]) per face — banded einsum when available, else
     row gathers."""
-    aggregation = _resolve_aggregation(aggregation, graph)
+    aggregation = _resolve_aggregation(aggregation, graph, train)
     if aggregation == "pallas" and graph.cf_row_onehot is not None:
         from gnn_fluid_dynamics_tpu.ops.pallas_agg import (
             gather_face_cells_pallas)
@@ -210,7 +216,8 @@ class CellBlock(nn.Module):
     @nn.compact
     def __call__(self, cell_attr, edge_attr, graph: MeshGraph,
                  extra=None, train: bool = False):
-        cell_agg = aggregate_twice_mp(edge_attr, graph, self.cfg.aggregation)
+        cell_agg = aggregate_twice_mp(edge_attr, graph, self.cfg.aggregation,
+                                      train)
         parts = [cell_attr, cell_agg]
         if extra is not None:
             parts.append(jnp.broadcast_to(extra, (cell_attr.shape[0], extra.shape[-1])))
@@ -229,7 +236,7 @@ class FaceBlock(nn.Module):
     def __call__(self, cell_attr, edge_attr, graph: MeshGraph,
                  extra=None, train: bool = False):
         x_row, x_col = gather_face_cells(cell_attr, graph,
-                                         self.cfg.aggregation)
+                                         self.cfg.aggregation, train)
         parts = [edge_attr, x_row, x_col]
         if extra is not None:
             parts.append(jnp.broadcast_to(extra, (edge_attr.shape[0], extra.shape[-1])))

@@ -385,7 +385,8 @@ class _ConsFBlock(nn.Module):
         e_sym, e_asym = edge_attr[:, : H // 2], edge_attr[:, H // 2:]
         # symmetric half via vertices: duplicate (not fwd/rev-chunked) halves
         sym2 = jnp.concatenate([e_sym, e_sym], axis=-1)
-        cell_agg = aggregate_twice_mp(sym2, graph, self.cfg.aggregation)
+        cell_agg = aggregate_twice_mp(sym2, graph, self.cfg.aggregation,
+                                      train)
         asym_agg = aggregate_faces_to_cells(e_asym, graph, antisym=True)
         c = MLP(H, H, dropout_rate=self.cfg.dropout_rate, name="cell_mlp")(
             jnp.concatenate([cell_attr, cell_agg, asym_agg], axis=-1), train)
@@ -430,7 +431,8 @@ class _ConsIBlock(nn.Module):
         H = self.cfg.hidden
         e_sym, e_asym = edge_attr[:, : H // 2], edge_attr[:, H // 2:]
         sym2 = jnp.concatenate([e_sym, e_sym], axis=-1)
-        cell_agg = aggregate_twice_mp(sym2, graph, self.cfg.aggregation)
+        cell_agg = aggregate_twice_mp(sym2, graph, self.cfg.aggregation,
+                                      train)
         asym_agg = aggregate_faces_to_cells(e_asym, graph, antisym=True)
         c_new = MLP(H, H, dropout_rate=self.cfg.dropout_rate, name="cell_mlp")(
             jnp.concatenate([cell_attr, cell_agg, asym_agg], axis=-1), train)
@@ -469,7 +471,8 @@ class _ConsHBlock(nn.Module):
         H = self.cfg.hidden
         Ha = self.asym_width or H
         sym2 = jnp.concatenate([e_s, e_s], axis=-1)
-        cell_agg = aggregate_twice_mp(sym2, graph, self.cfg.aggregation)
+        cell_agg = aggregate_twice_mp(sym2, graph, self.cfg.aggregation,
+                                      train)
         asym_agg = aggregate_faces_to_cells(e_a, graph, antisym=True)
         c_new = MLP(H, H, dropout_rate=self.cfg.dropout_rate, name="cell_mlp")(
             jnp.concatenate([cell_attr, cell_agg, asym_agg], axis=-1), train)

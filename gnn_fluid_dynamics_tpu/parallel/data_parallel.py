@@ -51,15 +51,22 @@ def replicate(tree, mesh: Mesh):
 
 def make_dp_train_step(model, optimizer: optax.GradientTransformation,
                        mesh: Mesh, noise_std: float = 0.0,
+                       pushforward_factor: int = 0,
                        axis_name: str = "data") -> Callable:
     """Build the jitted data-parallel train step.
 
     Returns ``step(state, device_graphs, lr) -> (state, losses)`` where
     ``device_graphs`` is the output of :func:`shard_batch` and ``state`` is a
     replicated :class:`~gnn_fluid_dynamics_tpu.training.trainer.TrainState`.
+    Pushforward unrolling (FvgnD) runs per device on its local shard, exactly
+    mirroring the single-chip step; temporal bundling lives inside the model
+    and needs no DP-side handling.
     """
     from jax.experimental.shard_map import shard_map
-    from gnn_fluid_dynamics_tpu.training.trainer import TrainState, _set_lr
+    from gnn_fluid_dynamics_tpu.training.trainer import (TrainState, _set_lr,
+                                                         pushforward_retarget)
+    pf = int(pushforward_factor or 0)
+    use_pf = pf > 0 and model.pushforward_use
 
     def loss_fn(params, batch_stats, graph, feats, rng):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -76,6 +83,10 @@ def make_dp_train_step(model, optimizer: optax.GradientTransformation,
         rng, k_feat, k_drop = jax.random.split(rng, 3)
         tgraph, feats = model.transform_features(graph, k_feat, mode="train",
                                                  noise_std=noise_std)
+        if use_pf:
+            variables = {"params": state.params,
+                         "batch_stats": state.batch_stats}
+            feats = pushforward_retarget(model, variables, tgraph, feats, pf)
         grads, (losses, updates) = jax.grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, tgraph, feats, k_drop)
         # ICI all-reduce: mean of grads/losses/batch-stats across the slice

