@@ -260,27 +260,39 @@ class MeshDataset:
         return self.get_batch([self.sample_map[idx]])
 
     # ---- rollout ground truth ----------------------------------------------
+    def trajectory_fields(self, mesh_ids: Sequence[str], t0: int,
+                          num_steps: int,
+                          keys: Sequence[str] = FIELD_KEYS
+                          ) -> Dict[str, np.ndarray]:
+        """Padded/batched ground-truth stacks (T, sum_N, D) for every
+        requested field present in all trajectories, aligned like
+        :meth:`trajectory_targets` (row i == state at t0 + (i+1)*stride).
+        Cell keys pad to the cell bucket, face keys to the face bucket —
+        the face fields feed the full-fidelity rollout writer (reference
+        ``simulation_data.py:96-211``)."""
+        pad = self._pad_for(mesh_ids)
+        keys = [k for k in keys
+                if all(k in self.by_id[m].fields for m in mesh_ids)]
+        out: Dict[str, List[np.ndarray]] = {k: [] for k in keys}
+        for i in range(num_steps):
+            ts = t0 + (i + 1) * self.stride
+            for k in keys:
+                npad = pad["cell" if k.startswith("cell") else "face"]
+                rows = []
+                for m in mesh_ids:
+                    x = self.by_id[m].fields[k][ts]
+                    rows.append(np.pad(x, ((0, npad - x.shape[0]), (0, 0))))
+                out[k].append(np.concatenate(rows, axis=0))
+        return {k: np.stack(v) for k, v in out.items()}
+
     def trajectory_targets(self, mesh_ids: Sequence[str], t0: int,
                            num_steps: int) -> Tuple[jax.Array, jax.Array]:
         """(T, sum_C, 2) cell velocity + (T, sum_C, 1) pressure ground truth,
         padded/batched to match a ``get_batch`` graph; row i == state at
         t0 + (i+1)*stride."""
-        Cp = self._pad_for(mesh_ids)["cell"]
-        vs, ps = [], []
-        for i in range(num_steps):
-            ts = t0 + (i + 1) * self.stride
-            v_rows, p_rows = [], []
-            for m in mesh_ids:
-                t = self.by_id[m]
-                v = t.fields["cell_velocity"][ts]
-                p = t.fields["cell_pressure"][ts]
-                v = np.pad(v, ((0, Cp - v.shape[0]), (0, 0)))
-                p = np.pad(p, ((0, Cp - p.shape[0]), (0, 0)))
-                v_rows.append(v)
-                p_rows.append(p)
-            vs.append(np.concatenate(v_rows, axis=0))
-            ps.append(np.concatenate(p_rows, axis=0))
-        return jnp.asarray(np.stack(vs)), jnp.asarray(np.stack(ps))
+        f = self.trajectory_fields(mesh_ids, t0, num_steps,
+                                   keys=("cell_velocity", "cell_pressure"))
+        return jnp.asarray(f["cell_velocity"]), jnp.asarray(f["cell_pressure"])
 
     # ---- MLS weights -------------------------------------------------------
     def add_grad_weights(self, loc: str, poly_order: int):

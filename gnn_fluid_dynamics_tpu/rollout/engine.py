@@ -27,13 +27,19 @@ from gnn_fluid_dynamics_tpu.models.losses import mse_per_graph, rel_mse_per_grap
 from gnn_fluid_dynamics_tpu.models.transforms import interior_face_mask
 from gnn_fluid_dynamics_tpu.ops import fvm
 
+# fields streamed out of the scan under save_fields: the cell state plus every
+# face-level prediction the model exposes (reference simulation_data.py:96-211
+# saves cell velocity/pressure/flux and face velocity/pressure/flux)
+SAVABLE_FIELDS = ("cell_velocity", "cell_pressure", "cell_flux",
+                  "face_velocity", "face_pressure", "face_flux")
+
 
 @dataclasses.dataclass(frozen=True)
 class RolloutConfig:
     """Rollout section of the experiment config (reference config.py:92-113)."""
     num_steps: int = 50
     compute_error: bool = True
-    save_fields: bool = False      # stream predicted cell fields out of the scan
+    save_fields: bool = False      # stream predicted cell+face fields out of the scan
     save_frequency: int = 1
 
 
@@ -119,8 +125,9 @@ def rollout_scan(model, variables: Dict, graph: MeshGraph,
             if compute_error:
                 measure(sol, feats, gt_t, ys)
             if config.save_fields:
-                ys["cell_velocity"] = sol["cell_velocity"]
-                ys["cell_pressure"] = sol["cell_pressure"]
+                for key in SAVABLE_FIELDS:
+                    if key in sol:
+                        ys[key] = sol[key]
         else:
             # extract each bundled sub-step (reference rollout.py:320-335)
             subs = []
@@ -136,10 +143,9 @@ def rollout_scan(model, variables: Dict, graph: MeshGraph,
                             sub_step=k)
             sol = subs[-1]
             if config.save_fields:
-                ys["cell_velocity"] = jnp.stack(
-                    [s["cell_velocity"] for s in subs], axis=0)
-                ys["cell_pressure"] = jnp.stack(
-                    [s["cell_pressure"] for s in subs], axis=0)
+                for key in SAVABLE_FIELDS:
+                    if all(key in s for s in subs):
+                        ys[key] = jnp.stack([s[key] for s in subs], axis=0)
 
         new_feats = model.update_features(sol, feats, graph)
         return new_feats, ys
@@ -166,14 +172,14 @@ def rollout_scan(model, variables: Dict, graph: MeshGraph,
             if all(k in ys for k in ks):
                 stacked = jnp.stack([ys.pop(k) for k in ks], axis=1)
                 ys[base] = stacked.reshape(-1, *stacked.shape[2:])
-        for base in ("cell_velocity", "cell_pressure"):
+        for base in SAVABLE_FIELDS:
             if base in ys:
                 v = ys.pop(base)                     # (T_outer, k, C, D)
                 ys[base] = v.reshape(-1, *v.shape[2:])
 
     errors = {k: ys[k] for k in ("velocity_error", "pressure_error",
                                  "divergence_error") if k in ys}
-    fields = {k: ys[k] for k in ("cell_velocity", "cell_pressure") if k in ys}
+    fields = {k: ys[k] for k in SAVABLE_FIELDS if k in ys}
     # always expose the final state so callers (and benchmarks) have a data
     # dependency on every step even when per-step outputs are disabled —
     # otherwise XLA dead-code-eliminates the whole scan

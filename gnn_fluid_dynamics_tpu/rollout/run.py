@@ -113,8 +113,17 @@ def main(argv: Optional[List[str]] = None):
     num_steps = max(1, (t0_range[1] - t0_range[0] - 1) // valid_ds.stride)
     compute_error = args.error == "on"
     gt_v = gt_p = None
+    gt_fields = {}
     if compute_error or args.save == "full":
-        gt_v, gt_p = valid_ds.trajectory_targets(sim_ids, t0_range[0], num_steps)
+        # full save also records face velocity/pressure/flux ground truth
+        # (reference simulation_data.py:96-211)
+        keys = (("cell_velocity", "cell_pressure", "face_velocity",
+                 "face_pressure", "face_flux") if args.save == "full"
+                else ("cell_velocity", "cell_pressure"))
+        gt_fields = valid_ds.trajectory_fields(sim_ids, t0_range[0],
+                                               num_steps, keys=keys)
+        gt_v = jax.numpy.asarray(gt_fields["cell_velocity"])
+        gt_p = jax.numpy.asarray(gt_fields["cell_pressure"])
 
     print(f"\nRollout started... ({num_steps} steps x {len(sim_ids)} sims)")
     start = time.time()
@@ -145,10 +154,9 @@ def main(argv: Optional[List[str]] = None):
         timesteps = [t0_range[0] + (i + 1) * valid_ds.stride
                      for i in range(num_steps)]
         writer.write_fields(
-            {"cell_velocity": fields["cell_velocity"],
-             "cell_pressure": fields["cell_pressure"]},
+            {k: v for k, v in fields.items() if k != "final_cell_state"},
             timesteps,
-            ground_truth={"cell_velocity": gt_v, "cell_pressure": gt_p},
+            ground_truth=gt_fields,
             save_frequency=config.rollout.save_frequency)
         writer.close(meta={"model": ckpt_path,
                            "dataset": config.dataset.dpath,

@@ -175,6 +175,60 @@ def test_model_loading_flexible():
     assert any("stray" in s for s in skipped)
 
 
+def test_full_fidelity_writer_roundtrip(tmp_path):
+    """save='full' must produce the reference's per-mesh dataset layout —
+    cell/{velocity,pressure,flux,*_gt} and face/{velocity,pressure,flux,*_gt}
+    (reference simulation_data.py:59-119) — with correct unpadded shapes."""
+    import h5py
+    from gnn_fluid_dynamics_tpu.rollout.writer import SimulationWriter
+
+    ds = make_dataset()
+    model, variables, g, feats = setup_model(ds, name="FluxA")
+    gt = ds.trajectory_fields(ds.sim_ids(), 0, 6)
+    gt_v, gt_p = (jnp.asarray(gt["cell_velocity"]),
+                  jnp.asarray(gt["cell_pressure"]))
+    errors, fields = rollout_scan(model, variables, g, feats, gt_v, gt_p,
+                                  RolloutConfig(num_steps=6, save_fields=True))
+    # FluxA exposes all face fields + the per-local-face cell flux
+    for k in ("cell_velocity", "cell_pressure", "cell_flux",
+              "face_velocity", "face_pressure", "face_flux"):
+        assert k in fields, k
+
+    path = str(tmp_path / "data0.h5")
+    writer = SimulationWriter(path, ds, ds.sim_ids())
+    writer.write_fields(
+        {k: v for k, v in fields.items() if k != "final_cell_state"},
+        timesteps=list(range(1, 7)), ground_truth=gt, save_frequency=2)
+    writer.close(meta={"x": 1}, meta_path=str(tmp_path / "meta.json"))
+
+    with h5py.File(path, "r") as f:
+        for mesh_id in ds.sim_ids():
+            traj = ds.by_id[mesh_id]
+            C = traj.geom["cell_pos"].shape[0]
+            F = traj.geom["face_pos"].shape[0]
+            grp = f[mesh_id]
+            # reference dataset names (simulation_data.py:88-119)
+            assert grp["cell"]["velocity"].shape == (3, C, 2)
+            assert grp["cell"]["pressure"].shape == (3, C, 1)
+            assert grp["cell"]["flux"].shape == (3, C, 3)
+            assert grp["cell"]["velocity_gt"].shape == (3, C, 2)
+            assert grp["cell"]["pressure_gt"].shape == (3, C, 1)
+            assert grp["face"]["velocity"].shape == (3, F, 2)
+            assert grp["face"]["pressure"].shape == (3, F, 1)
+            assert grp["face"]["flux"].shape == (3, F, 1)
+            assert grp["face"]["velocity_gt"].shape == (3, F, 2)
+            assert grp["face"]["pressure_gt"].shape == (3, F, 1)
+            assert grp["face"]["flux_gt"].shape == (3, F, 1)
+            assert list(grp["timesteps"]) == [1, 3, 5]
+            # save_frequency subsampling must keep rows aligned: row 1 of the
+            # saved gt == full-resolution gt at kept step index 2
+            b = ds.sim_ids().index(mesh_id)
+            Cp = ds._pad_for(ds.sim_ids())["cell"]
+            np.testing.assert_allclose(
+                grp["cell"]["velocity_gt"][1],
+                gt["cell_velocity"][2, b * Cp: b * Cp + C], rtol=1e-6)
+
+
 def test_profiling_utils():
     from gnn_fluid_dynamics_tpu.training.profiling import (StepTimer,
                                                            device_memory_stats)
