@@ -30,7 +30,7 @@ from gnn_fluid_dynamics_tpu.models import normalizer as norm
 from gnn_fluid_dynamics_tpu.models.arch import (MLP, ArchConfig, CellBlock,
                                                 Encoder, FaceAreaNorm,
                                                 FaceBlock, VolDtNorm, gather3)
-from gnn_fluid_dynamics_tpu.models.flux import FluxA
+from gnn_fluid_dynamics_tpu.models.flux import FluxA, FluxC
 from gnn_fluid_dynamics_tpu.models.fvgn import _f, _z
 from gnn_fluid_dynamics_tpu.models.losses import combined_log_loss, mse_per_element
 from gnn_fluid_dynamics_tpu.ops import fvm
@@ -109,6 +109,30 @@ class _VertPotModule(nn.Module):
             phi_p = jnp.sum(g[..., 5:6] * graph.cell_normal * g[..., 4:5],
                             axis=1)
             acc = -phi_a - phi_p + phi_d
+            extras["norm_face_area"] = area
+        elif self.integrator == "fluxE":
+            # VertPotE (VertPot.py:494-539): face flux converted from the
+            # potential cell flux is CONCATENATED onto the [p, Dx, Dy] head
+            # and the inherited FluxC integrator runs on the result — which
+            # reads phi from column 1 (= Dx) and D from columns 2:4
+            # (= [Dy, flux]). The scrambled columns are a preserved
+            # reference quirk, not a mistake here.
+            face_flux = fvm.cell_flux_to_face_flux(
+                cell_flux, graph.cell_edge_index, graph.owner_local_slot)
+            face_out = jnp.concatenate(
+                [face_out, face_flux.reshape(-1, 1)], axis=1)    # (F, 4)
+            uv_face = cell_to_face(cell_x[:, 0:2], graph.cell_edge_index,
+                                   graph.face_pos, graph.cell_pos)
+            area = FaceAreaNorm(name="face_area_norm")(graph, train)
+            g = gather3(jnp.concatenate(
+                [uv_face, face_out[:, 1:2], face_out[:, 2:4], area,
+                 face_out[:, 0:1]], axis=1), graph)              # (C, 3, 7)
+            uvf, phif = g[..., 0:2], g[..., 2:3]
+            fd, e, pf3 = g[..., 3:5], g[..., 5:6], g[..., 6:7]
+            phi_a = jnp.sum(uvf * phif, axis=1)
+            phi_dd = jnp.sum(fd, axis=1)
+            phi_p = jnp.sum(pf3 * graph.cell_normal * e, axis=1)
+            acc = -phi_a - phi_p + phi_dd
             extras["norm_face_area"] = area
         elif self.integrator == "physical":
             # VertPotB.Integrator (VertPot.py:283-319)
@@ -314,9 +338,40 @@ class VertPotD(VertPotA):
         return losses
 
 
-class VertPotE(VertPotC):
-    """FluxC wiring with VertPot blocks (VertPot.py:494-539)."""
+class VertPotE(FluxC):
+    """FluxC wiring with VertPot blocks (VertPot.py:494-539): the vertex
+    potential's cell flux is converted to a face flux and concatenated onto
+    the [p, Dx, Dy] head before FluxC's integrator and loss run on it.
+
+    Preserved reference quirks: the integrator reads phi from column 1
+    (= Dx) and D from columns 2:4 (= [Dy, flux]); the output normalizer
+    applies flux stats to column 1; ``face_velocity`` in the outputs is
+    columns 0:2 (= [p, Dx]) and ``face_pressure`` column 2:3 (= Dy)
+    (reference VertPot.py:525, 536-539)."""
+
     name = "VertPotE"
+
+    def build_module(self):
+        return _VertPotModule(self.arch, face_out=3, integrator="fluxE")
+
+    def forward(self, variables, graph, feats, mode="train", rngs=None):
+        train = mode == "train"
+        nfeats = norm.normalize_inputs(feats, self.nmap, self.stats)
+        (acc, eo, _cell_flux, extras), updates = self._apply(
+            variables, nfeats, graph, train, rngs)
+        bundle = {"cell_out": acc, "face_out": eo}
+        if mode == "rollout":
+            bundle = norm.normalize_outputs(bundle, self.nmap, self.stats,
+                                            inverse=True)
+        outputs = {
+            "cell_velocity_change": bundle["cell_out"][:, 0:2],
+            "face_velocity": bundle["face_out"][:, 0:2],   # [p, Dx] quirk
+            "face_pressure": bundle["face_out"][:, 2:3],   # Dy quirk
+            "face_flux": bundle["face_out"][:, 3:4],
+            "_nfeats": nfeats,
+            **{f"_{k}": v for k, v in extras.items()},
+        }
+        return outputs, updates
 
 
 class VertPotF(VertPotA):

@@ -14,23 +14,174 @@ import pytest
 
 from test_models import build_graph, make_model
 
+# All 38 registered variants (VERDICT item 7). FvgnD/FvgnI pin to FvgnA's
+# value by design: FvgnD differs only via the trainer-side pushforward flag
+# (reference Fvgn.py:789-836) and FvgnI's update_features is literally
+# identical to FvgnA's (Fvgn.py:133-148 vs 1117-1137) — the golden equality
+# is itself the parity check.
 GOLDEN = {
-    "FvgnA": 3.236853,
-    "MgnA": 2.639708,
-    "FluxD": 3.467385,
     "ConservativeA": 4.890163,
-    "VertPotA": 3.458843,
+    "ConservativeB": 3.453041,
+    "ConservativeD": 3.222024,
+    "ConservativeE": 3.090613,
+    "ConservativeF": 3.131870,
+    "ConservativeG": 3.302307,
+    "ConservativeH": 2.516927,
+    "ConservativeI": 3.243598,
+    "ConservativeJ": 12.528838,
+    "ConservativeK": 2.592895,
+    "FluxA": 2.915964,
+    "FluxB": 3.203707,
+    "FluxC": 2.346305,
+    "FluxD": 3.467385,
+    "FvgnA": 3.236853,
+    "FvgnB": 10.486329,
+    "FvgnC": 4.906362,
+    "FvgnD": 3.236853,
+    "FvgnE": 2.233893,
+    "FvgnF": 4.107967,
+    "FvgnH": 3.399260,
+    "FvgnI": 3.236853,
+    "FvgnJ": 10.320619,
+    "FvgnK": 9.003028,
+    "MgnA": 2.639708,
+    "MgnB": 2.461944,
+    "MgnC": 2.099551,
     "StreamFuncA": 2.499293,
+    "StreamFuncB": 2.499293,
+    "StreamFuncC": 2.238127,
+    "StreamFuncD": 2.087875,
+    "VertPotA": 3.458843,
+    "VertPotB": 18.463882,
+    "VertPotC": 4.398654,
+    "VertPotD": 3.799463,
+    "VertPotE": 5.595953,
+    "VertPotF": 3.006201,
+    "VertPotG": 3.873164,
 }
 
 
 @pytest.mark.parametrize("name", sorted(GOLDEN))
 def test_one_step_loss_golden(name):
     g = build_graph(grad_weights=True)
-    m = make_model(name, g)
+    kw = {"bundle_size": 2} if name == "FvgnC" else {}
+    m = make_model(name, g, **kw)
     tg, feats = m.transform_features(g, None, mode="train")
     v = m.init(jax.random.PRNGKey(7), tg, feats)
     out, _ = m.forward(v, tg, feats, mode="train")
     losses = m.loss(out, feats, tg)
     np.testing.assert_allclose(float(losses["total_log_loss"]),
                                GOLDEN[name], rtol=1e-4)
+
+
+def test_fvgna_forward_numpy_rederivation():
+    """Independent numpy re-derivation of one full FvgnA rollout-mode forward
+    (VERDICT item 7; reference contract ``src/models/Fvgn.py:150-333``):
+    z-score input normalization, encoder MLPs, 'twice message passing'
+    (edge-half scatter onto vertices + 3-vertex cell average), face blocks
+    with owner/neighbour gathers, residuals, decoder, the BatchNorm'd
+    area*dt/V-bar integrator, and inverse-z output denormalization — all
+    re-implemented with plain numpy and compared against the jitted model."""
+    g = build_graph(grad_weights=False)
+    m = make_model("FvgnA", g)                    # hidden 32, mp_num 2
+    tg, feats = m.transform_features(g, None, mode="rollout")
+    v = m.init(jax.random.PRNGKey(3), tg, feats)
+    out, _ = m.forward(v, tg, feats, mode="rollout")
+
+    P = jax.tree.map(lambda x: np.asarray(x, np.float64), v["params"])
+    BS = jax.tree.map(lambda x: np.asarray(x, np.float64), v["batch_stats"])
+    stats = {k: {s: float(x) for s, x in d.items()} for k, d in m.stats.items()}
+
+    # --- normalization (normalizer.py z_score; reference normalisation.py:284-291)
+    def z(x, key, inv=False):
+        mean = stats[key]["mean"]
+        std = max(stats[key]["std"], 1e-8) + 1e-8
+        return x * std + mean if inv else (x - mean) / std
+
+    cell_x = np.asarray(feats["cell_x"], np.float64).copy()
+    face_x = np.asarray(feats["face_x"], np.float64).copy()
+    for f in m.nmap.inputs:
+        tens = {"cell_x": cell_x, "face_x": face_x}.get(f.tensor)
+        if tens is not None:
+            tens[:, f.start:f.stop] = z(tens[:, f.start:f.stop], f.stat_key)
+
+    # --- numpy NN primitives (arch.py MLP; reference Model.py:12-40)
+    def dense(p, x):
+        return x @ p["kernel"] + p["bias"]
+
+    def silu(x):
+        return x / (1.0 + np.exp(-x))
+
+    def layernorm(p, x, eps=1e-6):
+        mu = x.mean(-1, keepdims=True)
+        var = x.var(-1, keepdims=True)
+        return (x - mu) / np.sqrt(var + eps) * p["scale"] + p["bias"]
+
+    def mlp(p, x, ln=True):
+        x = silu(dense(p["Dense_0"], x))
+        x = silu(dense(p["Dense_1"], x))
+        x = dense(p["Dense_2"], x)
+        return layernorm(p["LayerNorm_0"], x) if ln else x
+
+    epd = P["EncodeProcessDecode_0"]
+    cell = mlp(epd["Encoder_0"]["cell_mlp"], cell_x)
+    edge = mlp(epd["Encoder_0"]["face_mlp"], face_x)
+
+    vei = np.asarray(tg.vertex_edge_index)
+    vface = np.asarray(tg.vertex_face)
+    cei = np.asarray(tg.cell_edge_index)
+    V = int(tg.num_vertices)
+    H = cell.shape[1]
+    for i in range(2):
+        p = epd[f"GNBlock_{i}"]
+        # twice message passing (reference Fvgn.py:305-321)
+        vtx = np.zeros((V, H // 2))
+        np.add.at(vtx, vei[0], edge[:, : H // 2])
+        np.add.at(vtx, vei[1], edge[:, H // 2:])
+        agg = (vtx[vface[0]] + vtx[vface[1]] + vtx[vface[2]]) / 3.0
+        cell_new = mlp(p["CellBlock_0"]["MLP_0"],
+                       np.concatenate([cell, agg], axis=1))
+        edge_new = mlp(p["FaceBlock_0"]["MLP_0"],
+                       np.concatenate([edge, cell_new[cei[0]],
+                                       cell_new[cei[1]]], axis=1))
+        cell = cell + cell_new
+        edge = edge + edge_new
+    face_out = mlp(epd["decoder_face"], edge, ln=False)
+
+    # --- integrator (arch.py FvgnIntegrator; reference Fvgn.py:214-255)
+    vol = np.asarray(tg.cell_volume, np.float64).reshape(-1)
+    v_avg = np.maximum(0.5 * (vol[cei[0]] + vol[cei[1]]), 1e-12)
+    scaled = (np.asarray(tg.face_area, np.float64).reshape(-1)
+              * float(np.mean(np.asarray(tg.dt))) / v_avg)[:, None]
+    bn_p = P["integrator"]["face_area_norm"]["MaskedBatchNorm_0"]["BatchNorm_0"]
+    bn_s = BS["integrator"]["face_area_norm"]["MaskedBatchNorm_0"]["BatchNorm_0"]
+    e_face = ((scaled - bn_s["mean"]) / np.sqrt(bn_s["var"] + 1e-5)
+              * bn_p["scale"] + bn_p["bias"])
+
+    fidx = np.asarray(tg.face_index).T                       # (C, 3)
+    unv = np.asarray(tg.cell_normal, np.float64)             # (C, 3, 2)
+    uv, pr, fd = face_out[:, :2], face_out[:, 2:3], face_out[:, 3:]
+    uu = np.stack([uv[:, 0] * uv[:, 0], uv[:, 0] * uv[:, 1],
+                   uv[:, 1] * uv[:, 0], uv[:, 1] * uv[:, 1]], axis=1)
+    e3 = e_face[fidx]                                        # (C, 3, 1)
+    a = np.einsum("cfkd,cfd->cfk", uu[fidx].reshape(-1, 3, 2, 2), unv)
+    phi_a = np.sum(a * e3, axis=1)
+    phi_d = np.sum(fd[fidx], axis=1)
+    phi_p = np.sum(pr[fidx] * unv * e3, axis=1)
+    acc = -phi_a - phi_p + phi_d
+    acc *= np.asarray(tg.cell_mask)[:, None]
+
+    # --- output denormalization (rollout mode)
+    acc[:, 0] = z(acc[:, 0], "cell_velocity_change_x", inv=True)
+    acc[:, 1] = z(acc[:, 1], "cell_velocity_change_y", inv=True)
+    fo = face_out.copy()
+    fo[:, 0] = z(fo[:, 0], "face_velocity_x", inv=True)
+    fo[:, 1] = z(fo[:, 1], "face_velocity_y", inv=True)
+    fo[:, 2] = z(fo[:, 2], "face_pressure", inv=True)
+
+    np.testing.assert_allclose(np.asarray(out["cell_velocity_change"]), acc,
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["face_velocity"]), fo[:, :2],
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["face_pressure"]), fo[:, 2:3],
+                               rtol=2e-4, atol=2e-5)
