@@ -128,6 +128,231 @@ def load_dataset(path: str, sim_limit: Optional[int] = None,
     return out
 
 
+# ---------------------------------------------------------------------------
+# Out-of-core (lazy) loading — reference DataSet streams windows from HDF5
+# with per-worker SWMR handles and an LRU geometry cache (DataSet.py:127-172).
+# ---------------------------------------------------------------------------
+
+_FIELD_PATHS = {
+    "cell_velocity": ("cell", "velocity"),
+    "cell_pressure": ("cell", "pressure"),
+    "face_velocity": ("face", "velocity"),
+    "face_pressure": ("face", "pressure"),
+    "face_flux": ("face", "flux"),
+}
+
+
+class H5Store:
+    """Shared lazy HDF5 handle + bounded LRU cache of geometry arrays.
+
+    The file handle is (re)opened per process (SWMR), mirroring the
+    reference's per-DataLoader-worker handle re-init (DataSet.py:127-149);
+    geometry reads go through an LRU bounded at ``cache_entries`` arrays
+    (reference: 25-mesh geometry LRU, DataSet.py:63-64, 161-172)."""
+
+    def __init__(self, path: str, cache_entries: int = 128):
+        import collections
+        self.path = path
+        self.cache_entries = cache_entries
+        self._pid = None
+        self._file = None
+        self._cache = collections.OrderedDict()   # (mesh_id, key) -> ndarray
+        self.hits = 0
+        self.misses = 0
+
+    @property
+    def file(self):
+        import h5py
+        if self._file is None or self._pid != os.getpid():
+            self._file = h5py.File(self.path, "r", swmr=True)
+            self._pid = os.getpid()
+        return self._file
+
+    def _put(self, key, value):
+        self._cache[key] = value
+        self._cache.move_to_end(key)
+        while len(self._cache) > self.cache_entries:
+            self._cache.popitem(last=False)
+        return value
+
+    def geom_array(self, mesh_id: str, key: str) -> np.ndarray:
+        ck = (mesh_id, key)
+        if ck in self._cache:
+            self.hits += 1
+            self._cache.move_to_end(ck)
+            return self._cache[ck]
+        self.misses += 1
+        gg = self.file[mesh_id]["geom"]
+        if key in gg:
+            return self._put(ck, gg[key][()])
+        if key in DERIVED_KEYS:
+            # regenerate the static sign/slot tables for reference-written
+            # files that lack them (same as the eager loader)
+            partial = {k: self.geom_array(mesh_id, k)
+                       for k in ("face_index", "cell_edge_index")}
+            _ensure_derived(partial)
+            for k in DERIVED_KEYS:
+                self._put((mesh_id, k), partial[k])
+            return self._cache[ck]
+        raise KeyError((mesh_id, key))
+
+    def geom_keys(self, mesh_id: str):
+        return tuple(self.file[mesh_id]["geom"].keys()) + tuple(
+            k for k in DERIVED_KEYS
+            if k not in self.file[mesh_id]["geom"])
+
+    def field_dataset(self, mesh_id: str, key: str):
+        grp, name = _FIELD_PATHS[key]
+        g = self.file[mesh_id]
+        return g[grp][name] if grp in g and name in g[grp] else None
+
+
+class LazyArray:
+    """h5py-dataset view supporting the pipeline's access pattern
+    (``x[ts]``, ``x[ts:ts+W]``, ``.shape``) with windowed disk reads."""
+
+    def __init__(self, store: H5Store, mesh_id: str, key: str,
+                 scale: float = 1.0):
+        self.store = store
+        self.mesh_id = mesh_id
+        self.key = key
+        self.scale = scale
+        self.shape = store.field_dataset(mesh_id, key).shape
+
+    def __getitem__(self, idx):
+        x = self.store.field_dataset(self.mesh_id, self.key)[idx]
+        return x * np.float32(self.scale) if self.scale != 1.0 else x
+
+    def __len__(self):
+        return self.shape[0]
+
+
+class LazyGeom:
+    """Mapping view over one mesh's geometry group, reading through the
+    store's bounded LRU."""
+
+    def __init__(self, store: H5Store, mesh_id: str):
+        self.store = store
+        self.mesh_id = mesh_id
+        self._keys = store.geom_keys(mesh_id)
+
+    def __getitem__(self, key):
+        return self.store.geom_array(self.mesh_id, key)
+
+    def __contains__(self, key):
+        return key in self._keys
+
+    def keys(self):
+        return self._keys
+
+    def items(self):
+        return ((k, self[k]) for k in self._keys)
+
+    def get(self, key, default=None):
+        return self[key] if key in self._keys else default
+
+
+class PermutedLazyArray:
+    """Lazy view applying an element permutation (axis -2) on read — the
+    out-of-core counterpart of ``ops.reorder.reorder_fields`` for RCM-ordered
+    banded aggregation."""
+
+    def __init__(self, base: "LazyArray", perm: np.ndarray):
+        self.base = base
+        self.perm = np.asarray(perm)
+        self.shape = base.shape
+
+    def __getitem__(self, idx):
+        return self.base[idx][..., self.perm, :]
+
+    def __len__(self):
+        return self.shape[0]
+
+
+class TransformedLazyGeom:
+    """Applies a geometry transform (e.g. RCM relabeling) on demand; the
+    transformed dict is cached as one entry in the store's bounded LRU."""
+
+    def __init__(self, base: "LazyGeom", transform, tag: str):
+        self.base = base
+        self.transform = transform
+        self.tag = tag
+
+    def _dict(self):
+        store, mid = self.base.store, self.base.mesh_id
+        ck = (mid, self.tag)
+        if ck in store._cache:
+            store.hits += 1
+            store._cache.move_to_end(ck)
+            return store._cache[ck]
+        store.misses += 1
+        raw = {k: self.base[k] for k in self.base.keys()}
+        return store._put(ck, self.transform(raw))
+
+    def __getitem__(self, key):
+        return self._dict()[key]
+
+    def __contains__(self, key):
+        return key in self._dict()
+
+    def keys(self):
+        return tuple(self._dict().keys())
+
+    def items(self):
+        return self._dict().items()
+
+    def get(self, key, default=None):
+        return self._dict().get(key, default)
+
+
+def load_dataset_lazy(path: str, sim_limit: Optional[int] = None,
+                      sim_index: Optional[Sequence[int]] = None,
+                      flux_scale: float = 1.0,
+                      grad_weights_order: Optional[Dict[str, int]] = None,
+                      shuffle: bool = False, seed: int = 0,
+                      cache_entries: int = 128) -> List[Trajectory]:
+    """Out-of-core variant of :func:`load_dataset`: trajectories whose
+    ``geom``/``fields`` are lazy HDF5 views, so the reference's 1000-mesh
+    scale fits in bounded host memory (reference DataSet.py:127-172). Field
+    windows are read from disk per batch; geometry flows through one shared
+    bounded LRU. MLS grad-weight tables stay eager (they are small and
+    feed static graph construction)."""
+    import h5py
+    store = H5Store(path, cache_entries=cache_entries)
+    out = []
+    with h5py.File(path, "r", swmr=True) as f:
+        ids = sorted([k for k in f.keys() if k.startswith("mesh")])
+        if sim_index is not None:
+            ids = [f"mesh_{i}" for i in sim_index]
+        elif shuffle:
+            rng = np.random.default_rng(seed)
+            ids = list(rng.permutation(ids))
+        if sim_limit:
+            assert len(ids) >= sim_limit, (len(ids), sim_limit)
+            ids = ids[:sim_limit]
+        for mesh_id in ids:
+            g = f[mesh_id]
+            fields = {k: LazyArray(store, mesh_id, k,
+                                   scale=(flux_scale if k == "face_flux"
+                                          else 1.0))
+                      for k in _FIELD_PATHS
+                      if store.field_dataset(mesh_id, k) is not None}
+            grad = {}
+            for loc, order in (grad_weights_order or {}).items():
+                key = f"{loc}_grad_weights"
+                if key in g and str(order) in g[key]:
+                    sub = g[key][str(order)]
+                    grad[key] = sub["weights"][()]
+                    grad[f"{loc}_grad_neighbours"] = sub["neighbours"][()]
+            dt = float(g["meta"]["dt"][()])
+            re = float(g["meta"]["Re"][()]) if "Re" in g["meta"] else 0.0
+            out.append(Trajectory(mesh_id=mesh_id,
+                                  geom=LazyGeom(store, mesh_id),
+                                  fields=fields, dt=dt, reynolds=re,
+                                  grad_weights=grad))
+    return out
+
+
 def add_grad_weights_to_file(path: str, loc: str, poly_order: int,
                              recompute: bool = False):
     """Precompute and cache MLS weights inside the dataset file (reference

@@ -18,6 +18,7 @@ so the pipeline here:
 from __future__ import annotations
 
 import dataclasses
+from collections import OrderedDict
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -76,8 +77,15 @@ class MeshDataset:
                  with_incidence: bool = False,
                  with_banded: bool = False,
                  banded_dtype="float32",
-                 num_buckets: int = 1):
+                 num_buckets: int = 1,
+                 max_cached_graphs: Optional[int] = None):
         assert trajectories
+        # out-of-core mode: when max_cached_graphs is set, per-mesh static
+        # graphs and banded tables live in LRU caches of that size instead of
+        # being pinned for every mesh — pair with hdf5.load_dataset_lazy so
+        # the reference's 1000-mesh scale runs in bounded memory
+        # (reference DataSet.py:127-172)
+        self.max_cached_graphs = max_cached_graphs
         self.trajectories = list(trajectories)
         self.by_id = {t.mesh_id: t for t in self.trajectories}
         self.stride = stride
@@ -134,44 +142,87 @@ class MeshDataset:
         ]
         self.timestep_range = (start, end)
 
-        self._static_graphs: Dict[str, MeshGraph] = {}
+        self._static_graphs: "OrderedDict[Tuple, MeshGraph]" = OrderedDict()
         # bounded: every distinct mesh combination would otherwise pin a
         # full batched graph (geometry + banded tables) in HBM — with random
         # multi-mesh batches that exhausts device memory
         self._batched_cache: Dict[Tuple[str, ...], MeshGraph] = {}
         self._batched_cache_size = 8
 
-        # banded tables are built eagerly and CANONICALIZED per bucket:
-        # every mesh sharing a padded shape gets identical per-tile band
-        # offsets, so banded specs are static (constant-slice fast path)
-        # yet independent of which meshes share a batch — one compile per
-        # bucket shape instead of one per mesh combination
-        self._tables_cache: Dict[Tuple, Any] = {}
+        # banded tables are CANONICALIZED per bucket: every mesh sharing a
+        # padded shape gets identical per-tile band offsets, so banded specs
+        # are static (constant-slice fast path) yet independent of which
+        # meshes share a batch — one compile per bucket shape instead of one
+        # per mesh combination. In-memory mode builds+pins every mesh's
+        # tables eagerly; out-of-core mode streams a metadata pass (tables
+        # discarded) and rebuilds per-mesh tables on demand into the LRU.
+        self._tables_cache: "OrderedDict[Tuple, Any]" = OrderedDict()
+        self._canon_specs: Dict[Tuple, Any] = {}
+        self._canon_done: set = set()
         if with_banded:
             for b, pad in enumerate(self.bucket_pad):
                 members = [t.mesh_id for t in self.trajectories
                            if self.bucket_of[t.mesh_id] == b]
                 self._ensure_canon(pad, members)
 
+    @staticmethod
+    def _pad_key(pad: Dict[str, int]) -> Tuple[int, int, int]:
+        return (pad["cell"], pad["face"], pad["vertex"])
+
+    def _build_tables(self, mesh_id: str, pad: Dict[str, int]):
+        from gnn_fluid_dynamics_tpu.graph import banded_tables_for
+        return banded_tables_for(self.by_id[mesh_id].geom, pad)
+
+    def _tables_put(self, key, value):
+        self._tables_cache[key] = value
+        self._tables_cache.move_to_end(key)
+        if self.max_cached_graphs is not None:
+            while len(self._tables_cache) > self.max_cached_graphs:
+                self._tables_cache.popitem(last=False)
+        return value
+
     def _ensure_canon(self, pad: Dict[str, int], members):
-        from gnn_fluid_dynamics_tpu.ops.banded import canonicalize_tables
-        key = ("canon", pad["cell"], pad["face"], pad["vertex"],
-               frozenset(members))
-        if self._tables_cache.get(key):
+        from gnn_fluid_dynamics_tpu.ops.banded import (canonical_spec,
+                                                       rebase_tables,
+                                                       table_meta)
+        pk = self._pad_key(pad)
+        key = ("canon",) + pk + (frozenset(members),)
+        if key in self._canon_done:
             return
-        tbls = [self._tables_for(m, pad) for m in members]
-        for m, t in zip(members, canonicalize_tables(tbls)):
-            self._tables_cache[(m, pad["cell"], pad["face"],
-                                pad["vertex"])] = t
-        self._tables_cache[key] = True
+        if len(members) == 1:
+            spec = None                       # single mesh: tables as built
+        elif self.max_cached_graphs is None:
+            tbls = [self._build_tables(m, pad) for m in members]
+            spec = canonical_spec([table_meta(t) for t in tbls])
+            for m, t in zip(members, tbls):
+                self._tables_put((m,) + pk, rebase_tables(t, spec))
+        else:
+            # streaming metadata pass: per-mesh tables built, summarized,
+            # and discarded — memory stays bounded at one mesh's tables
+            spec = canonical_spec(
+                [table_meta(self._build_tables(m, pad)) for m in members])
+        if pk in self._canon_specs:
+            # the spec for this pad widened (e.g. bucket pad == global
+            # rollout pad but the member set grew): tables/graphs rebased
+            # against the old spec no longer share offsets with new ones
+            for k in [k for k in self._tables_cache if k[1:] == pk]:
+                del self._tables_cache[k]
+            for k in [k for k in self._static_graphs if k[1:] == pk]:
+                del self._static_graphs[k]
+            self._batched_cache.clear()
+        self._canon_specs[pk] = spec
+        self._canon_done.add(key)
 
     def _tables_for(self, mesh_id: str, pad: Dict[str, int]):
-        from gnn_fluid_dynamics_tpu.graph import banded_tables_for
-        key = (mesh_id, pad["cell"], pad["face"], pad["vertex"])
-        if key not in self._tables_cache:
-            self._tables_cache[key] = banded_tables_for(
-                self.by_id[mesh_id].geom, pad)
-        return self._tables_cache[key]
+        from gnn_fluid_dynamics_tpu.ops.banded import rebase_tables
+        pk = self._pad_key(pad)
+        key = (mesh_id,) + pk
+        if key in self._tables_cache:
+            self._tables_cache.move_to_end(key)
+            return self._tables_cache[key]
+        t = self._build_tables(mesh_id, pad)
+        spec = self._canon_specs.get(pk)
+        return self._tables_put(key, rebase_tables(t, spec) if spec else t)
 
     def _canon_tables(self, mesh_id: str, pad: Dict[str, int]):
         """Canonicalized tables for this mesh at these pad sizes; for pad
@@ -181,9 +232,9 @@ class MeshDataset:
         b = self.bucket_of[mesh_id]
         bucket_ids = [t.mesh_id for t in self.trajectories
                       if self.bucket_of[t.mesh_id] == b]
-        if pad != self.bucket_pad[b] or not self._tables_cache.get(
-                ("canon", pad["cell"], pad["face"], pad["vertex"],
-                 frozenset(bucket_ids))):
+        if pad != self.bucket_pad[b] or (
+                ("canon",) + self._pad_key(pad) + (frozenset(bucket_ids),)
+                not in self._canon_done):
             self._ensure_canon(pad, all_ids)
         return self._tables_for(mesh_id, pad)
 
@@ -213,6 +264,11 @@ class MeshDataset:
                 banded_static=True,
                 banded_tables=(self._canon_tables(mesh_id, pad)
                                if self.with_banded else None))
+            if self.max_cached_graphs is not None:
+                while len(self._static_graphs) > self.max_cached_graphs:
+                    self._static_graphs.popitem(last=False)
+        else:
+            self._static_graphs.move_to_end(key)
         return self._static_graphs[key]
 
     def _batched_static(self, mesh_ids: Tuple[str, ...]) -> MeshGraph:

@@ -255,23 +255,25 @@ _TABLE_GROUPS = (("hv", "hv_offsets", ("hv_onehot",)),
                  ("fc3", "fc3_offsets", ("fc3_onehot",)))
 
 
-def canonicalize_tables(tables):
-    """Give every mesh's tables IDENTICAL per-tile band offsets.
+def table_meta(t: BandedTables):
+    """The tiny per-mesh summary canonicalization needs: per-group
+    (per-tile offsets, band width, source count). Lets the out-of-core
+    dataset compute canonical offsets in a streaming pass and discard the
+    (large) one-hot tables."""
+    return {name: (np.asarray(getattr(t, off_key), np.int64),
+                   int(getattr(t, oh_keys[0]).shape[2]),
+                   int(t.sources[name]))
+            for name, off_key, oh_keys in _TABLE_GROUPS}
 
-    Meshes sharing a padded bucket shape get per-tile offsets = min across
-    meshes and a band width covering every mesh (one-hot columns shifted
-    accordingly). With shared offsets the banded specs are static AND
-    batch-composition-independent, so training runs the fast constant-slice
-    path with one compile per bucket — the traced-offset fallback lowers to
-    a serial while loop on TPU (~100 us per table application)."""
-    tables = list(tables)
-    if len(tables) == 1:
-        return tables
-    out = [dataclasses.replace(t) for t in tables]
-    for name, off_key, oh_keys in _TABLE_GROUPS:
-        offs = np.array([getattr(t, off_key) for t in tables])   # (M, T)
-        Bs = np.array([getattr(t, oh_keys[0]).shape[2] for t in tables])
-        S = max(t.sources[name] for t in tables)
+
+def canonical_spec(metas):
+    """Canonical per-tile offsets + band width per table group, covering
+    every mesh in ``metas`` (see :func:`canonicalize_tables`)."""
+    spec = {}
+    for name, _, _ in _TABLE_GROUPS:
+        offs = np.stack([m[name][0] for m in metas])             # (M, T)
+        Bs = np.array([m[name][1] for m in metas])
+        S = max(m[name][2] for m in metas)
         canon = offs.min(axis=0)
         # fixpoint: clamping canon down (off + B <= S) can widen the needed
         # band, which tightens the clamp again; iterate until stable (B is
@@ -284,14 +286,41 @@ def canonicalize_tables(tables):
                 break
             canon = clamped
         assert int(np.max(offs + Bs[:, None] - canon[None, :])) <= B
-        for m, t in enumerate(out):
-            shifts = offs[m] - canon
-            setattr(t, off_key, tuple(int(o) for o in canon))
-            for key in oh_keys:
-                old = getattr(tables[m], key)
-                new = np.zeros((old.shape[0], old.shape[1], B), old.dtype)
-                for ti in range(old.shape[0]):
-                    sh = int(shifts[ti])
-                    new[ti, :, sh: sh + old.shape[2]] = old[ti]
-                setattr(t, key, new)
+        spec[name] = (canon, B)
+    return spec
+
+
+def rebase_tables(t: BandedTables, spec) -> BandedTables:
+    """Shift one mesh's tables onto the canonical offsets of ``spec``."""
+    out = dataclasses.replace(t)
+    for name, off_key, oh_keys in _TABLE_GROUPS:
+        canon, B = spec[name]
+        offs = np.asarray(getattr(t, off_key), np.int64)
+        shifts = offs - canon
+        assert shifts.min() >= 0, (name, shifts.min())
+        setattr(out, off_key, tuple(int(o) for o in canon))
+        for key in oh_keys:
+            old = getattr(t, key)
+            assert int(np.max(shifts)) + old.shape[2] <= B, (name, B)
+            new = np.zeros((old.shape[0], old.shape[1], B), old.dtype)
+            for ti in range(old.shape[0]):
+                sh = int(shifts[ti])
+                new[ti, :, sh: sh + old.shape[2]] = old[ti]
+            setattr(out, key, new)
     return out
+
+
+def canonicalize_tables(tables):
+    """Give every mesh's tables IDENTICAL per-tile band offsets.
+
+    Meshes sharing a padded bucket shape get per-tile offsets = min across
+    meshes and a band width covering every mesh (one-hot columns shifted
+    accordingly). With shared offsets the banded specs are static AND
+    batch-composition-independent, so training runs the fast constant-slice
+    path with one compile per bucket — the traced-offset fallback lowers to
+    a serial while loop on TPU (~100 us per table application)."""
+    tables = list(tables)
+    if len(tables) == 1:
+        return tables
+    spec = canonical_spec([table_meta(t) for t in tables])
+    return [rebase_tables(t, spec) for t in tables]

@@ -70,22 +70,24 @@ def rcm_reorder_geometry(geom: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     return out
 
 
-def reorder_fields(fields: Dict[str, np.ndarray],
-                   geom_old: Dict[str, np.ndarray],
-                   geom_new: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
-    """Permute time-major field arrays to match a reordered geometry.
-
-    The permutations are recovered by position matching, so callers don't
-    need to thread the ranks through.
-    """
+def perms_from_pos(geom_old, geom_new):
+    """(cell_perm, face_perm) mapping new element order -> old, recovered by
+    position matching so callers don't need to thread the ranks through."""
     def perm_from_pos(old_pos, new_pos):
         from scipy.spatial import cKDTree
         d, idx = cKDTree(old_pos).query(new_pos)
         assert d.max() < 1e-9
         return idx
 
-    cperm = perm_from_pos(geom_old["cell_pos"], geom_new["cell_pos"])
-    fperm = perm_from_pos(geom_old["face_pos"], geom_new["face_pos"])
+    return (perm_from_pos(geom_old["cell_pos"], geom_new["cell_pos"]),
+            perm_from_pos(geom_old["face_pos"], geom_new["face_pos"]))
+
+
+def reorder_fields(fields: Dict[str, np.ndarray],
+                   geom_old: Dict[str, np.ndarray],
+                   geom_new: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Permute time-major field arrays to match a reordered geometry."""
+    cperm, fperm = perms_from_pos(geom_old, geom_new)
     out = {}
     for key, arr in fields.items():
         if key.startswith("cell_") and "neighbour" not in key:

@@ -56,6 +56,13 @@ class DatasetConfig:
     # TPU-native extras
     num_buckets: int = 1               # size-bucketed padding groups
     sampler: str = "balanced_chunked"  # samplers.SAMPLERS key
+    # out-of-core streaming: None = auto (lazy when the subset exceeds
+    # cache_meshes sims), True/False = force. Lazy mode reads field windows
+    # from HDF5 per batch and bounds geometry/static-graph/banded-table
+    # memory with LRU caches of cache_meshes entries (reference
+    # DataSet.py:127-172 streams with SWMR handles + a 25-mesh LRU).
+    lazy: Optional[bool] = None
+    cache_meshes: int = 100
 
 
 @dataclass

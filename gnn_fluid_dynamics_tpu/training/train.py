@@ -36,6 +36,7 @@ def build_datasets(config, model_cls):
                                         mode="rollout")
 
     def load(subset, sim_limit, timestep_range, stride, window, sim_index=None):
+        lazy = False
         if config.dataset.module == "synthetic":
             from gnn_fluid_dynamics_tpu.data.pipeline import Trajectory
             from gnn_fluid_dynamics_tpu.data.synthetic import (
@@ -51,21 +52,51 @@ def build_datasets(config, model_cls):
                 trajs.append(Trajectory(mesh_id=f"mesh_{i}", geom=geom,
                                         fields=fields))
         else:
-            from gnn_fluid_dynamics_tpu.data.hdf5 import load_dataset
+            from gnn_fluid_dynamics_tpu.data.hdf5 import (load_dataset,
+                                                          load_dataset_lazy)
             flux_scale = 1.0 / 0.001 if "openfoam" in config.dataset.module.lower() \
                 else 1.0
             path = os.path.join(config.dataset.dpath, subset + ".h5")
-            trajs = load_dataset(path, sim_limit=sim_limit,
-                                 sim_index=sim_index, flux_scale=flux_scale,
-                                 shuffle=config.dataset.shuffle)
+            lazy = config.dataset.lazy
+            if lazy is None:
+                # auto: stream when the subset exceeds the cache bound
+                import h5py
+                with h5py.File(path, "r") as f:
+                    n_avail = sum(1 for k in f if k.startswith("mesh"))
+                lazy = (sim_limit or n_avail) > config.dataset.cache_meshes
+            loader = load_dataset_lazy if lazy else load_dataset
+            kw = ({"cache_entries": config.dataset.cache_meshes}
+                  if lazy else {})
+            trajs = loader(path, sim_limit=sim_limit,
+                           sim_index=sim_index, flux_scale=flux_scale,
+                           shuffle=config.dataset.shuffle, **kw)
         if config.model.aggregation in ("banded", "pallas", "auto"):
             # RCM relabeling narrows the aggregation bands (ops/reorder.py)
-            from gnn_fluid_dynamics_tpu.ops.reorder import (rcm_reorder_geometry,
+            from gnn_fluid_dynamics_tpu.data.hdf5 import (LazyGeom,
+                                                          PermutedLazyArray,
+                                                          TransformedLazyGeom)
+            from gnn_fluid_dynamics_tpu.ops.reorder import (perms_from_pos,
+                                                            rcm_reorder_geometry,
                                                             reorder_fields)
             for t in trajs:
-                new_geom = rcm_reorder_geometry(t.geom)
-                t.fields = reorder_fields(t.fields, t.geom, new_geom)
-                t.geom = new_geom
+                if isinstance(t.geom, LazyGeom):
+                    # out-of-core: reorder lazily — permutations computed
+                    # once (small), fields permuted on read, transformed
+                    # geometry cached in the bounded store LRU
+                    new_geom = rcm_reorder_geometry(
+                        {k: t.geom[k] for k in t.geom.keys()})
+                    cperm, fperm = perms_from_pos(t.geom, new_geom)
+                    t.fields = {
+                        k: PermutedLazyArray(
+                            v, cperm if k.startswith("cell") else fperm)
+                        for k, v in t.fields.items()}
+                    t.geom = TransformedLazyGeom(t.geom,
+                                                 rcm_reorder_geometry,
+                                                 "__rcm__")
+                else:
+                    new_geom = rcm_reorder_geometry(t.geom)
+                    t.fields = reorder_fields(t.fields, t.geom, new_geom)
+                    t.geom = new_geom
         return MeshDataset(trajs, stride=stride, data_window=window,
                            timestep_range=timestep_range,
                            pad_multiple=config.training.pad_multiple,
@@ -75,7 +106,9 @@ def build_datasets(config, model_cls):
                            banded_dtype=("bfloat16"
                                          if config.model.compute_dtype
                                          == "bfloat16" else "float32"),
-                           num_buckets=config.dataset.num_buckets)
+                           num_buckets=config.dataset.num_buckets,
+                           max_cached_graphs=(config.dataset.cache_meshes
+                                              if lazy else None))
 
     train_ds = load(config.training.data_subset,
                     config.training.data_sim_limit,
