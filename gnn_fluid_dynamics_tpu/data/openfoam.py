@@ -12,8 +12,9 @@ canonical HDF5 trajectory layout:
   onto mesh faces with velocity-consistent sign correction
   (OpenFoam.py:275-308).
 
-VTK reading requires ``pyvista`` (not available in all images); everything
-downstream of raw arrays is plain numpy and unit-testable without it.
+VTK reading uses the self-contained :mod:`gnn_fluid_dynamics_tpu.data.vtk_io`
+XML reader (pyvista, when installed, is used only as an optional fallback for
+exotic encodings); everything downstream is plain numpy and unit-testable.
 """
 
 from __future__ import annotations
@@ -116,6 +117,8 @@ def map_phi_surface_to_faces(phi_points: np.ndarray,
     """
     from scipy.spatial import cKDTree
     F = face_pos.shape[0]
+    if point_pos.shape[0] == 0:     # e.g. every surface point z-filtered out
+        return np.zeros((F, 1), np.float64)
     phi_points = np.asarray(phi_points, np.float64).reshape(
         point_pos.shape[0], -1).mean(axis=1)
     out = np.zeros((F, 1), np.float64)
@@ -142,46 +145,64 @@ def slice_midplane(points3d: np.ndarray, tol: float = 1e-9
     return mask, points3d[mask][:, :2]
 
 
+def extract_midplane_triangles(grid) -> Tuple[np.ndarray, np.ndarray]:
+    """1-cell z-extrusion -> 2-D triangulation, preserving cell order.
+
+    OpenFOAM extrudes the 2-D triangle mesh into one layer of wedges
+    (VTK_WEDGE); each 3-D cell's three vertices on the z==z_min plane ARE the
+    original 2-D triangle, and the i-th 3-D cell corresponds to the i-th 2-D
+    cell — so volume cell data (U, p) maps 1:1 onto the triangles with no
+    resampling (reference OpenFoam.py mid-plane slicing)."""
+    pts = np.asarray(grid.points)
+    vmask, vertex_pos = slice_midplane(pts)
+    remap = -np.ones(pts.shape[0], np.int64)
+    remap[np.where(vmask)[0]] = np.arange(int(vmask.sum()))
+    cells = []
+    for i in range(grid.n_cells):
+        verts = np.asarray(grid.cell_vertices(i), np.int64)
+        tri = verts[vmask[verts]]
+        if tri.shape[0] != 3:
+            raise ValueError(
+                f"cell {i} has {tri.shape[0]} mid-plane vertices; expected a "
+                "1-cell triangle extrusion (wedges)")
+        cells.append(remap[tri])
+    return vertex_pos, np.asarray(cells, np.int64)
+
+
 def preprocess_vtk_series(case_dir: str, mesh_id: str,
                           dt: float, reynolds: float = 0.0) -> Trajectory:
-    """Read one simulation's VTK series -> Trajectory (requires pyvista)."""
-    if not have_pyvista():
-        raise ImportError(
-            "pyvista is required for OpenFOAM VTK preprocessing; convert on a "
-            "machine with pyvista or use the HDF5 files directly")
-    import pyvista as pv
+    """Read one simulation's VTK series -> Trajectory (self-contained
+    ``vtk_io`` reader; no pyvista needed)."""
+    from gnn_fluid_dynamics_tpu.data import vtk_io
 
     vtm_files = sorted(glob.glob(os.path.join(case_dir, "VTK", "*.vtm")))
     if not vtm_files:
         raise FileNotFoundError(f"no VTK output under {case_dir}")
 
-    first = pv.read(vtm_files[0])
-    internal = first["internal"] if "internal" in first.keys() else first[0]
-    surf = internal.extract_surface()
-    tri = surf.triangulate()
-    vmask, vertex_pos = slice_midplane(np.asarray(tri.points))
-    # build 2-D triangles from the sliced plane
-    faces = tri.faces.reshape(-1, 4)[:, 1:]
-    remap = -np.ones(tri.n_points, np.int64)
-    remap[np.where(vmask)[0]] = np.arange(vmask.sum())
-    cells = remap[faces]
-    cells = cells[(cells >= 0).all(axis=1)]
+    def load_blocks(path):
+        blocks = dict()
+        for name, fpath in vtk_io.read_vtm(path):
+            blocks[name] = fpath
+        return blocks
 
-    patch_points = {}
-    for name in first.keys():
-        if name == "internal":
-            continue
-        patch_points[name] = np.asarray(first[name].points)
+    first = load_blocks(vtm_files[0])
+    assert "internal" in first, f"no internal block in {vtm_files[0]}"
+    internal = vtk_io.read(first["internal"])
+    vertex_pos, cells = extract_midplane_triangles(internal)
+
+    patch_points = {
+        name: np.asarray(vtk_io.read(fpath).points)
+        for name, fpath in first.items() if name != "internal"
+    }
     vertex_types = classify_vertices_by_patches(vertex_pos, patch_points)
     geom = build_geometry(vertex_pos, cells, vertex_types, NodeType)
 
     surface_dir = os.path.join(case_dir, "VTK", "surfaceFields")
     cv, cp, fv, fp, flux = [], [], [], [], []
     for path in vtm_files:
-        data = pv.read(path)
-        block = data["internal"] if "internal" in data.keys() else data[0]
+        block = vtk_io.read(load_blocks(path)["internal"])
         u = np.asarray(block.cell_data["U"])[:, :2]
-        p = np.asarray(block.cell_data["p"])[:, None]
+        p = np.asarray(block.cell_data["p"]).reshape(-1, 1)
         cv.append(u)
         cp.append(p)
         face_u = cell_fields_to_faces(u, geom)
@@ -195,7 +216,7 @@ def preprocess_vtk_series(case_dir: str, mesh_id: str,
         surf_path = os.path.join(surface_dir, f"surfaceFields_{ts_num}.vtp")
         face_phi = np.zeros((geom["face_pos"].shape[0], 1), np.float64)
         if os.path.exists(surf_path):
-            surf = pv.read(surf_path)
+            surf = vtk_io.read_vtp(surf_path)
             if "phi" in surf.point_data:
                 pts = np.asarray(surf.points)
                 # keep the extrusion side points (mid-plane), drop the

@@ -350,3 +350,191 @@ def test_lazy_rcm_permuted_fields(tmp_path):
     np.testing.assert_allclose(pv[2], ref_fields["cell_velocity"][2])
     np.testing.assert_allclose(pv[1:3], ref_fields["cell_velocity"][1:3])
     np.testing.assert_allclose(pf[0], ref_fields["face_flux"][0])
+
+
+# ---------------------------------------------------------------------------
+# Self-contained VTK reader + OpenFOAM VTK preprocessing (no pyvista)
+# ---------------------------------------------------------------------------
+
+def _write_wedge_case(case_dir, geom, fields, n_steps=3):
+    """Synthetic foamToVTK-layout case: the 2-D mesh extruded to one layer of
+    wedges, per-step VTM+VTU with U/p cell data, boundary patch VTPs, and
+    surfaceFields_*.vtp files carrying phi point data at face centers (plus
+    decoy front/back-plane points that the z-filter must drop)."""
+    import os
+    from gnn_fluid_dynamics_tpu.data import vtk_io
+    from gnn_fluid_dynamics_tpu.data.node_types import NodeType
+
+    vp = geom["vertex_pos"]
+    # recover triangles from vertex_face (3, C)
+    tris = np.asarray(geom["vertex_face"]).T
+    Nv, C = vp.shape[0], tris.shape[0]
+    h = 0.1
+    pts3 = np.concatenate([
+        np.concatenate([vp, np.zeros((Nv, 1))], axis=1),
+        np.concatenate([vp, np.full((Nv, 1), h)], axis=1)])
+    conn = np.concatenate([tris, tris + Nv], axis=1).reshape(-1)
+    offsets = np.arange(1, C + 1) * 6
+    types = np.full(C, 13, np.uint8)               # VTK_WEDGE
+
+    vtk_dir = os.path.join(case_dir, "VTK")
+    sf_dir = os.path.join(vtk_dir, "surfaceFields")
+    os.makedirs(sf_dir, exist_ok=True)
+
+    # boundary patches from positions (structured channel: x=0 inlet,
+    # x=max outlet, y extremes walls), both extrusion layers
+    x, y = np.asarray(vp[:, 0], np.float64), np.asarray(vp[:, 1], np.float64)
+    eps = 1e-6
+    patches = {"inlet": x < x.min() + eps,
+               "outlet": x > x.max() - eps,
+               "walls": (y < y.min() + eps) | (y > y.max() - eps)}
+    fpos = np.asarray(geom["face_pos"])
+    fnrm = np.asarray(geom["face_normal"])
+    area = np.asarray(geom["face_area"]).reshape(-1)
+
+    for step in range(n_steps):
+        u3 = np.concatenate([fields["cell_velocity"][step],
+                             np.zeros((C, 1))], axis=1)
+        vtu = f"internal_{step}.vtu"
+        vtk_io.write_vtu(os.path.join(vtk_dir, vtu), pts3, conn, offsets,
+                         types,
+                         cell_data={"U": u3,
+                                    "p": fields["cell_pressure"][step][:, 0]})
+        blocks = [("internal", vtu)]
+        for name, mask in patches.items():
+            if not mask.any():
+                continue
+            ppts = np.concatenate([
+                np.concatenate([vp[mask], np.zeros((mask.sum(), 1))], axis=1),
+                np.concatenate([vp[mask], np.full((mask.sum(), 1), h)], axis=1)])
+            rel = f"{name}_{step}.vtp"
+            vtk_io.write_vtp(os.path.join(vtk_dir, rel), ppts)
+            blocks.append((name, rel))
+        vtk_io.write_vtm(os.path.join(vtk_dir, f"case_{step}.vtm"), blocks)
+
+        # phi at face centers (side points, z = h/2) with RANDOM owner signs
+        # — the preprocessor must resolve them against the face velocity —
+        # plus decoy z=0 points the 1% z-filter must drop
+        uf = fields["face_velocity"][step]
+        phi = np.sum(uf * fnrm, axis=1) * area
+        rng = np.random.default_rng(step)
+        flip = rng.random(phi.shape[0]) < 0.5
+        phi_of = np.where(flip, -phi, phi)
+        side_pts = np.concatenate([fpos, np.full((fpos.shape[0], 1), h / 2)],
+                                  axis=1)
+        decoys = np.concatenate([
+            np.concatenate([fpos[:5], np.zeros((5, 1))], axis=1),
+            np.concatenate([fpos[:5], np.full((5, 1), h)], axis=1)])
+        all_pts = np.concatenate([side_pts, decoys])
+        all_phi = np.concatenate([phi_of, np.full(10, 1e6)])
+        vtk_io.write_vtp(os.path.join(sf_dir, f"surfaceFields_{step}.vtp"),
+                         all_pts, point_data={"phi": all_phi})
+
+
+def test_vtk_io_encodings(tmp_path):
+    """The reader must handle ascii, inline base64, appended raw, and
+    zlib-compressed appended encodings with UInt32/UInt64 headers."""
+    import base64 as b64
+    import zlib
+    from gnn_fluid_dynamics_tpu.data import vtk_io
+
+    pts = np.arange(12, dtype=np.float32).reshape(4, 3)
+    raw = pts.tobytes()
+
+    def build(fmt, header_dtype, compress):
+        hd = np.dtype(header_dtype)
+        comp_attr = (' compressor="vtkZLibDataCompressor"' if compress else "")
+        if compress:
+            comp = zlib.compress(raw)
+            header = np.array([1, len(raw), len(raw), len(comp)],
+                              hd).tobytes()
+            payload = header + comp
+        else:
+            payload = np.array([len(raw)], hd).tobytes() + raw
+        if fmt == "appended":
+            body = (f'<Points><DataArray type="Float32" '
+                    f'NumberOfComponents="3" format="appended" offset="0"/>'
+                    f"</Points>")
+            app = b'<AppendedData encoding="raw">_' + payload \
+                + b"</AppendedData>"
+        else:
+            b = b64.b64encode(payload).decode()
+            body = (f'<Points><DataArray type="Float32" '
+                    f'NumberOfComponents="3" format="binary">{b}'
+                    f"</DataArray></Points>")
+            app = b""
+        htname = {4: "UInt32", 8: "UInt64"}[hd.itemsize]
+        xml = (f'<?xml version="1.0"?><VTKFile type="PolyData" '
+               f'byte_order="LittleEndian" header_type="{htname}"{comp_attr}>'
+               f'<PolyData><Piece NumberOfPoints="4" NumberOfPolys="0">'
+               f"{body}<PointData/></Piece></PolyData></VTKFile>"
+               ).encode()
+        if app:
+            xml = xml.replace(b"</VTKFile>", app + b"</VTKFile>")
+        p = tmp_path / f"t_{fmt}_{htname}_{compress}.vtp"
+        p.write_bytes(xml)
+        return str(p)
+
+    for fmt in ("appended", "binary"):
+        for hd in (np.uint32, np.uint64):
+            for compress in (False, True):
+                g = vtk_io.read_vtp(build(fmt, hd, compress))
+                np.testing.assert_allclose(g.points, pts, rtol=1e-6)
+    # ascii round-trip via the writer
+    vtk_io.write_vtp(str(tmp_path / "a.vtp"), pts.astype(np.float64),
+                     point_data={"phi": np.arange(4.0)})
+    g = vtk_io.read_vtp(str(tmp_path / "a.vtp"))
+    np.testing.assert_allclose(g.points, pts, rtol=1e-6)
+    np.testing.assert_allclose(g.point_data["phi"], np.arange(4.0))
+
+
+def test_openfoam_vtk_preprocessing_end_to_end(tmp_path):
+    """preprocess_vtk_series must run without pyvista: wedge mid-plane
+    extraction preserves cell order (U/p map 1:1), patches classify vertex
+    types, and phi lands on faces with velocity-consistent signs
+    (reference OpenFoam.py:275-308)."""
+    from gnn_fluid_dynamics_tpu.data.openfoam import preprocess_vtk_series
+
+    geom = make_geometry("structured", nx=8, ny=5)
+    fields = taylor_green_trajectory(geom, num_timesteps=3, dt=0.01)
+    case = str(tmp_path / "mesh_0")
+    _write_wedge_case(case, geom, fields, n_steps=3)
+
+    traj = preprocess_vtk_series(case, "mesh_0", dt=0.01, reynolds=100.0)
+    assert traj.geom["cell_pos"].shape == geom["cell_pos"].shape
+    np.testing.assert_allclose(traj.geom["vertex_pos"], geom["vertex_pos"],
+                               atol=1e-12)
+    # topology identical; patch classification puts the right types on the
+    # right boundaries (corner priority may differ from make_geometry's)
+    np.testing.assert_array_equal(traj.geom["face_boundary_mask"],
+                                  geom["face_boundary_mask"])
+    ft = np.asarray(traj.geom["face_type"]).reshape(-1)
+    x = np.asarray(traj.geom["face_pos"])[:, 0]
+    bnd = np.asarray(traj.geom["face_boundary_mask"]).reshape(-1)
+    # every face ON the inlet/outlet plane carries the right type (corner
+    # wall+inflow pairs elsewhere may also type INFLOW — a reference rule)
+    assert (ft[bnd & (x < x.min() + 1e-6)] == NodeType.INFLOW).all()
+    assert (ft[bnd & (x > x.max() - 1e-6)] == NodeType.OUTFLOW).all()
+    assert (ft[bnd & (x < x.min() + 1e-6)]).size > 0
+    assert (ft[bnd & (x > x.max() - 1e-6)]).size > 0
+    # NB: the reference classifies purely from vertex-type pairs
+    # (geometry.py:389-424), so an interior face between two boundary
+    # vertices may carry a boundary type — not asserted NORMAL here.
+    # cell data alignment: exact 1:1 (no resampling)
+    np.testing.assert_allclose(traj.fields["cell_velocity"][1],
+                               fields["cell_velocity"][1], rtol=1e-6)
+    np.testing.assert_allclose(traj.fields["cell_pressure"][2],
+                               fields["cell_pressure"][2], rtol=1e-6)
+    # phi recovered with the preprocessor's sign convention: matching
+    # sign(u_f . n_f) despite the randomized owner signs in the file
+    fnrm = traj.geom["face_normal"]
+    area = traj.geom["face_area"].reshape(-1)
+    uf_interp = traj.fields["face_velocity"][1]
+    expect = np.sum(fields["face_velocity"][1] * fnrm, axis=1) * area
+    got = traj.fields["face_flux"][1][:, 0]
+    vd = np.sum(uf_interp * fnrm, axis=1)
+    live = np.abs(got) > 1e-12
+    np.testing.assert_allclose(np.abs(got[live]), np.abs(expect[live]),
+                               rtol=1e-5)
+    agree = np.sign(got[live]) == np.sign(vd[live])
+    assert agree.mean() > 0.99
