@@ -39,6 +39,13 @@ class ModelConfig:
     dropout_rate: float = 0.0
     num_face_types: int = 5
     compute_dtype: str = "float32"    # "bfloat16" for MXU-rate MLPs
+    # learned-scale denorm initialization for FvgnJ/FluxD-style heads:
+    # None = the reference's shipped constants (Flux.py:465-469);
+    # "stats" = per-channel target std from the dataset statistics (better
+    # conditioned when the data's magnitudes differ from the reference's);
+    # or a mapping {velocity_x, velocity_y, pressure, flux, diffusion} ->
+    # float (given as a tuple of pairs so the frozen config stays hashable)
+    scale_init: Optional[object] = None
 
 
 class FluidModel:

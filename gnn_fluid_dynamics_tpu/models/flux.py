@@ -303,25 +303,34 @@ class FluxC(FluxA):
                 **{f"{k}_loss": v for k, v in comps.items()}}
 
 
+# the reference's shipped scale constants (Flux.py:465-469)
+_FLUXD_SCALE_DEFAULTS = (("velocity_x", 0.1), ("velocity_y", 0.0001),
+                         ("pressure", 0.01), ("flux", 0.001),
+                         ("diffusion", 0.01))
+
+
 class _FluxDModule(nn.Module):
     """EPD -> learned scale denorm -> physical flux integrator
     (Flux.py:477-515, 557-595)."""
     cfg: ArchConfig
     rho: float = 1.0
     nu: float = 0.001
+    scale_inits: tuple = _FLUXD_SCALE_DEFAULTS
 
     @nn.compact
     def __call__(self, cell_x, face_x, graph: MeshGraph, train: bool = False):
         _, raw = EncodeProcessDecode(self.cfg, face_out=6)(
             cell_x, face_x, graph, train)
-        # learned per-channel scales (Flux.py:465-469, init values preserved);
+        # learned per-channel scales (Flux.py:465-469; init values default to
+        # the reference's constants, overridable via model.scale_init);
         # FluxD's biases are constant 0, not parameters (Flux.py:471-475)
+        si = dict(self.scale_inits)
         kw = dict(learn_bias=False)
-        u = LearnedScaleDenorm(1, init_scale=0.1, name="velocity_scale_x", **kw)(raw[:, 0:1])
-        v = LearnedScaleDenorm(1, init_scale=0.0001, name="velocity_scale_y", **kw)(raw[:, 1:2])
-        p = LearnedScaleDenorm(1, init_scale=0.01, name="pressure_scale", **kw)(raw[:, 2:3])
-        f = LearnedScaleDenorm(1, init_scale=0.001, name="flux_scale", **kw)(raw[:, 3:4])
-        d = LearnedScaleDenorm(2, init_scale=0.01, name="diffusion_scale", **kw)(raw[:, 4:6])
+        u = LearnedScaleDenorm(1, init_scale=si["velocity_x"], name="velocity_scale_x", **kw)(raw[:, 0:1])
+        v = LearnedScaleDenorm(1, init_scale=si["velocity_y"], name="velocity_scale_y", **kw)(raw[:, 1:2])
+        p = LearnedScaleDenorm(1, init_scale=si["pressure"], name="pressure_scale", **kw)(raw[:, 2:3])
+        f = LearnedScaleDenorm(1, init_scale=si["flux"], name="flux_scale", **kw)(raw[:, 3:4])
+        d = LearnedScaleDenorm(2, init_scale=si["diffusion"], name="diffusion_scale", **kw)(raw[:, 4:6])
         face_out = jnp.concatenate([u, v, p, f, d], axis=-1)
 
         # physical integrator (Flux.py:557-595)
@@ -351,8 +360,37 @@ class FluxD(FluxA):
 
     name = "FluxD"
 
+    # which stat key provides each channel's std under scale_init="stats"
+    _SCALE_STAT_KEYS = {"velocity_x": "face_velocity_x",
+                        "velocity_y": "face_velocity_y",
+                        "pressure": "face_pressure",
+                        "flux": "face_flux"}
+
+    def resolve_scale_inits(self) -> tuple:
+        si = self.config.scale_init
+        if si is None:
+            return _FLUXD_SCALE_DEFAULTS
+        if si == "stats":
+            # data-driven: channel std from the dataset statistics, so the
+            # physical head starts at the target's magnitude instead of the
+            # reference constants (which assume the reference's data scales;
+            # a mismatched pressure init lets the dt/V-amplified Delta-v loss
+            # collapse the pressure head toward zero early in training)
+            if self.stats is None:
+                return _FLUXD_SCALE_DEFAULTS   # rebuilt on set_stats
+            out = []
+            for key, default in _FLUXD_SCALE_DEFAULTS:
+                stat = self._SCALE_STAT_KEYS.get(key)
+                val = (float(self.stats[stat]["std"])
+                       if stat and stat in self.stats else default)
+                out.append((key, val))
+            return tuple(out)
+        merged = dict(_FLUXD_SCALE_DEFAULTS)
+        merged.update(dict(si))
+        return tuple(sorted(merged.items()))
+
     def build_module(self):
-        return _FluxDModule(self.arch)
+        return _FluxDModule(self.arch, scale_inits=self.resolve_scale_inits())
 
     def forward(self, variables, graph, feats, mode="train", rngs=None):
         train = mode == "train"

@@ -89,7 +89,8 @@ def main(argv: Optional[List[str]] = None):
                     timestep_stride=config.model.timestep_stride,
                     bundle_size=config.model.bundle_size,
                     aggregation=config.model.aggregation,
-                    compute_dtype=config.model.compute_dtype),
+                    compute_dtype=config.model.compute_dtype,
+                    scale_init=config.model.scale_init),
         loss_weights=config.training.loss_weights)
     model.set_stats(meta["stats"])      # stats come from the checkpoint
 

@@ -13,7 +13,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Union
 
 # Per-machine dataset-root remapping (reference config.py:14-18). Extend as
 # machines are added; "default" is used when the machine key is absent.
@@ -81,6 +81,10 @@ class ModelSection:
     aggregation: str = "segment"       # "segment"|"gather"|"banded"|"pallas"
     compute_dtype: str = "float32"     # "bfloat16" runs the MLP stack on MXU
     remat: bool = False                # jax.checkpoint each GN block
+    # learned-scale denorm init (FluxD/FvgnJ heads): None = reference
+    # constants (Flux.py:465-469), "stats" = per-channel target std, or a
+    # {channel: float} mapping
+    scale_init: Optional[Union[str, Dict[str, float]]] = None
 
 
 @dataclass

@@ -230,6 +230,7 @@ def main(argv: Optional[List[str]] = None):
                     aggregation=config.model.aggregation,
                     compute_dtype=config.model.compute_dtype,
                     remat=config.model.remat,
+                    scale_init=config.model.scale_init,
                     dropout_rate=config.training.dropout_rate),
         loss_weights=config.training.loss_weights)
 

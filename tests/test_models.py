@@ -325,3 +325,29 @@ def test_pallas_aggregation_equivalence():
         np.asarray(o_pal["cell_velocity_change"][:C]),
         np.asarray(o_seg["cell_velocity_change"][:C]),
         rtol=5e-2, atol=5e-3)
+
+
+def test_fluxd_scale_init_config():
+    """model.scale_init: None keeps the reference constants
+    (Flux.py:465-469), "stats" uses per-channel target stds, an explicit
+    mapping overrides single channels."""
+    graph = build_graph()
+
+    def inits(**kw):
+        m = make_model("FluxD", graph, **kw)
+        _, feats = m.transform_features(graph, None, mode="train")
+        v = m.init(jax.random.PRNGKey(7), graph, feats)
+        return {k: float(v["params"][k]["scale"][0])
+                for k in ("velocity_scale_x", "pressure_scale", "flux_scale")}
+
+    ref = inits()
+    assert ref == {"velocity_scale_x": pytest.approx(0.1),
+                   "pressure_scale": pytest.approx(0.01),
+                   "flux_scale": pytest.approx(0.001)}
+    m = make_model("FluxD", graph, scale_init="stats")
+    st = inits(scale_init="stats")
+    assert st["pressure_scale"] == pytest.approx(
+        float(m.stats["face_pressure"]["std"]), rel=1e-5)
+    ex = inits(scale_init={"pressure": 0.5})
+    assert ex["pressure_scale"] == pytest.approx(0.5)
+    assert ex["velocity_scale_x"] == pytest.approx(0.1)   # default kept
