@@ -46,6 +46,13 @@ class ModelConfig:
     # or a mapping {velocity_x, velocity_y, pressure, flux, diffusion} ->
     # float (given as a tuple of pairs so the frozen config stays hashable)
     scale_init: Optional[object] = None
+    # channels whose gradient is STOPPED inside the physical integrator
+    # ("pressure", "velocity", "flux"): the directly-supervised heads then
+    # learn only from their own losses while the (unsupervised) diffusion
+    # head carries the Delta-v closure. Fixes the collapse where the
+    # dt/V-amplified cell_velocity_change loss drives the supervised heads
+    # toward zero early in training. () = reference behavior.
+    integrator_detach: Tuple[str, ...] = ()
 
 
 class FluidModel:

@@ -316,6 +316,7 @@ class _FluxDModule(nn.Module):
     rho: float = 1.0
     nu: float = 0.001
     scale_inits: tuple = _FLUXD_SCALE_DEFAULTS
+    detach: tuple = ()
 
     @nn.compact
     def __call__(self, cell_x, face_x, graph: MeshGraph, train: bool = False):
@@ -333,10 +334,17 @@ class _FluxDModule(nn.Module):
         d = LearnedScaleDenorm(2, init_scale=si["diffusion"], name="diffusion_scale", **kw)(raw[:, 4:6])
         face_out = jnp.concatenate([u, v, p, f, d], axis=-1)
 
-        # physical integrator (Flux.py:557-595)
-        uv = face_out[:, :2]
-        pf = face_out[:, 2:3]
-        phi = face_out[:, 3:4]
+        # physical integrator (Flux.py:557-595). Channels named in
+        # ``detach`` enter as constants (stop_gradient): their heads keep
+        # learning from the direct supervision losses, and the diffusion
+        # head alone closes the momentum balance.
+        sg = jax.lax.stop_gradient
+        uv = sg(face_out[:, :2]) if "velocity" in self.detach \
+            else face_out[:, :2]
+        pf = sg(face_out[:, 2:3]) if "pressure" in self.detach \
+            else face_out[:, 2:3]
+        phi = sg(face_out[:, 3:4]) if "flux" in self.detach \
+            else face_out[:, 3:4]
         flux_d = face_out[:, 4:6]
         g = gather3(jnp.concatenate(
             [phi, uv, flux_d, graph.face_area.reshape(-1, 1), pf],
@@ -390,7 +398,8 @@ class FluxD(FluxA):
         return tuple(sorted(merged.items()))
 
     def build_module(self):
-        return _FluxDModule(self.arch, scale_inits=self.resolve_scale_inits())
+        return _FluxDModule(self.arch, scale_inits=self.resolve_scale_inits(),
+                            detach=tuple(self.config.integrator_detach or ()))
 
     def forward(self, variables, graph, feats, mode="train", rngs=None):
         train = mode == "train"

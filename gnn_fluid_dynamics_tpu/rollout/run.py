@@ -90,7 +90,8 @@ def main(argv: Optional[List[str]] = None):
                     bundle_size=config.model.bundle_size,
                     aggregation=config.model.aggregation,
                     compute_dtype=config.model.compute_dtype,
-                    scale_init=config.model.scale_init),
+                    scale_init=config.model.scale_init,
+                    integrator_detach=tuple(config.model.integrator_detach)),
         loss_weights=config.training.loss_weights)
     model.set_stats(meta["stats"])      # stats come from the checkpoint
 

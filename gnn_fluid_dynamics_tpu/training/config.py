@@ -85,6 +85,9 @@ class ModelSection:
     # constants (Flux.py:465-469), "stats" = per-channel target std, or a
     # {channel: float} mapping
     scale_init: Optional[Union[str, Dict[str, float]]] = None
+    # stop-gradient the named channels ("pressure"/"velocity"/"flux") inside
+    # physical integrators so supervised heads learn from their own losses
+    integrator_detach: List[str] = field(default_factory=list)
 
 
 @dataclass

@@ -231,6 +231,7 @@ def main(argv: Optional[List[str]] = None):
                     compute_dtype=config.model.compute_dtype,
                     remat=config.model.remat,
                     scale_init=config.model.scale_init,
+                    integrator_detach=tuple(config.model.integrator_detach),
                     dropout_rate=config.training.dropout_rate),
         loss_weights=config.training.loss_weights)
 

@@ -351,3 +351,37 @@ def test_fluxd_scale_init_config():
     ex = inits(scale_init={"pressure": 0.5})
     assert ex["pressure_scale"] == pytest.approx(0.5)
     assert ex["velocity_scale_x"] == pytest.approx(0.1)   # default kept
+
+
+def test_fluxd_integrator_detach():
+    """integrator_detach must cut the Delta-v-loss gradient into the named
+    supervised heads (their scales then learn only from their own losses)
+    while leaving forward values identical."""
+    graph = build_graph()
+    out_ref = out_det = None
+    grads = {}
+    for detach in ((), ("pressure", "velocity", "flux")):
+        m = make_model("FluxD", graph, integrator_detach=detach)
+        m.loss_weights = dict(m.loss_weights)
+        m.loss_weights["face_pressure"] = 0.0     # isolate the leak path
+        tg, feats = m.transform_features(graph, None, mode="train")
+        v = m.init(jax.random.PRNGKey(7), tg, feats)
+
+        def f(params):
+            out, _ = m.forward({**v, "params": params}, tg, feats,
+                               mode="train")
+            return m.loss(out, feats, tg)["total_log_loss"]
+
+        g = jax.grad(f)(v["params"])
+        grads[detach] = float(g["pressure_scale"]["scale"][0])
+        out, _ = m.forward(v, tg, feats, mode="train")
+        if detach:
+            out_det = out
+        else:
+            out_ref = out
+    assert abs(grads[()]) > 1.0                   # the collapse-driving leak
+    assert grads[("pressure", "velocity", "flux")] == 0.0
+    # forward values unchanged by detach
+    np.testing.assert_allclose(
+        np.asarray(out_ref["cell_velocity_change"]),
+        np.asarray(out_det["cell_velocity_change"]), rtol=1e-6)
