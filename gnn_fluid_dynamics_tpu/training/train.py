@@ -143,11 +143,18 @@ def compute_stats(config, model, dataset):
             print(f"\tstats loaded from {fpath}")
             return cached
     acc = StatsAccumulator(model.nmap)
-    for i in range(len(dataset)):
-        graph = dataset.get_item(i)
-        _, feats = model.transform_rollout(graph)
-        from gnn_fluid_dynamics_tpu.models.base import feature_masks
-        acc.update(feats, feature_masks(graph, feats))
+    from gnn_fluid_dynamics_tpu.models.base import feature_masks
+    # Pin accumulation to the host CPU backend: the loop is one jitted
+    # transform + ~15 small device pulls per sample, and on a tunneled TPU
+    # (axon) each pull is a network round-trip — 7k samples take hours on
+    # device vs minutes on host. Stats are host-side dataset statistics;
+    # there is nothing TPU-worthy here.
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        for i in range(len(dataset)):
+            graph = dataset.get_item(i)
+            _, feats = model.transform_rollout(graph)
+            acc.update(feats, feature_masks(graph, feats))
     stats = acc.finalize()
     if fpath:
         os.makedirs(os.path.dirname(os.path.abspath(fpath)), exist_ok=True)
