@@ -385,3 +385,30 @@ def test_fluxd_integrator_detach():
     np.testing.assert_allclose(
         np.asarray(out_ref["cell_velocity_change"]),
         np.asarray(out_det["cell_velocity_change"]), rtol=1e-6)
+
+
+def test_diagnose_head_report_flags_collapse():
+    """training.diagnose.head_report: per-head corr/rel in both spaces; an
+    untrained FluxD (tiny reference-constant scales) must flag the velocity
+    head as collapsed relative to an O(1) target."""
+    from gnn_fluid_dynamics_tpu.training.diagnose import head_report
+
+    graph = build_graph()
+    model = make_model("FluxD", graph)
+    _, feats = model.transform_features(graph, None, mode="rollout")
+    variables = model.init(jax.random.PRNGKey(0), graph, feats)
+    report = head_report(model, variables, graph, feats)
+
+    assert "face_velocity_x" in report and "face_pressure" in report
+    for head, spaces in report.items():
+        if head.startswith("_"):
+            continue
+        assert {"normalized", "physical"} <= set(spaces)
+        for r in spaces.values():
+            assert np.isfinite(r["rel"]) and np.isfinite(r["corr"])
+    # physical-space velocity prediction: scale init 0.1 * O(1) raw output
+    # vs Taylor-Green O(1) velocities -> rel error near 1, tiny pred std
+    rel = report["face_velocity_x"]["physical"]["rel"]
+    assert 0.5 < rel < 2.0
+    # learned scales surface as scalar params
+    assert any("scale" in k for k in report.get("_scalar_params", {}))
