@@ -53,6 +53,11 @@ class ModelConfig:
     # dt/V-amplified cell_velocity_change loss drives the supervised heads
     # toward zero early in training. () = reference behavior.
     integrator_detach: Tuple[str, ...] = ()
+    # override the class-level pushforward flag (reference ties pushforward
+    # to FvgnD only, Fvgn.py:789-836; the TPU build lets any family opt in —
+    # e.g. FluxD + pushforward for rollout-stable flagship training).
+    # None = use the class default.
+    pushforward: Optional[bool] = None
 
 
 class FluidModel:
@@ -67,6 +72,9 @@ class FluidModel:
     def __init__(self, config: ModelConfig, stats: Optional[Dict] = None,
                  loss_weights: Optional[Dict[str, float]] = None):
         self.config = config
+        if config.pushforward is not None:
+            # shadow the class attribute on the instance
+            self.pushforward_use = bool(config.pushforward)
         self.arch = ArchConfig(
             hidden=config.hidden_width, mp_num=config.mp_num,
             dropout_rate=config.dropout_rate, aggregation=config.aggregation,

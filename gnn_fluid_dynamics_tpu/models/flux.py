@@ -75,7 +75,14 @@ class FluxA(FvgnA):
             cell_velocity = T.add_noise(k_noise, cell_velocity, noise_std)
         elif rng is not None:
             k_flip = rng
-        cell_y = graph.cell_velocity[:, -1] - cell_velocity
+        if self.pushforward_use and graph.cell_velocity.shape[1] > 2:
+            # pushforward: cell_y here only feeds Delta-v stats; the trainer
+            # rebuilds the supervised target post-unroll (see
+            # trainer.pushforward_retarget / reference Fvgn.py:833-835)
+            cell_y = (graph.cell_velocity[:, -1]
+                      - graph.cell_velocity[:, -2])
+        else:
+            cell_y = graph.cell_velocity[:, -1] - cell_velocity
 
         if mode == "train" and rng is not None:
             graph, _ = T.random_edge_flip(k_flip, graph)

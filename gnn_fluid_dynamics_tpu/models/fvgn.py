@@ -103,7 +103,16 @@ class FvgnA(FluidModel):
             cell_velocity = T.add_noise(k_noise, cell_velocity, noise_std)
         elif rng is not None:
             k_flip = rng
-        cell_y = graph.cell_velocity[:, -1] - cell_velocity
+        if self.pushforward_use and graph.cell_velocity.shape[1] > 2:
+            # pushforward window: the supervised target is rebuilt after the
+            # no-grad unroll (trainer.pushforward_retarget); here cell_y only
+            # feeds the Delta-v statistics, which the reference pins to the
+            # LAST single step of the window (FvgnD.get_normalisation_map,
+            # Fvgn.py:833-835), not the whole-window change
+            cell_y = (graph.cell_velocity[:, -1]
+                      - graph.cell_velocity[:, -2])
+        else:
+            cell_y = graph.cell_velocity[:, -1] - cell_velocity
 
         if mode == "train" and rng is not None:
             graph, _ = T.random_edge_flip(k_flip, graph)

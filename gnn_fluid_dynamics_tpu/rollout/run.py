@@ -91,7 +91,8 @@ def main(argv: Optional[List[str]] = None):
                     aggregation=config.model.aggregation,
                     compute_dtype=config.model.compute_dtype,
                     scale_init=config.model.scale_init,
-                    integrator_detach=tuple(config.model.integrator_detach)),
+                    integrator_detach=tuple(config.model.integrator_detach),
+                    pushforward=config.model.pushforward),
         loss_weights=config.training.loss_weights)
     model.set_stats(meta["stats"])      # stats come from the checkpoint
 

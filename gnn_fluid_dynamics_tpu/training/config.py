@@ -88,6 +88,9 @@ class ModelSection:
     # stop-gradient the named channels ("pressure"/"velocity"/"flux") inside
     # physical integrators so supervised heads learn from their own losses
     integrator_detach: List[str] = field(default_factory=list)
+    # override the model class's pushforward flag (None = class default;
+    # e.g. FluxD + pushforward for rollout-stable flagship training)
+    pushforward: Optional[bool] = None
 
 
 @dataclass

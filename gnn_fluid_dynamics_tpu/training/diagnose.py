@@ -149,7 +149,8 @@ def main(argv: Optional[list] = None):
                     aggregation=config.model.aggregation,
                     compute_dtype=config.model.compute_dtype,
                     scale_init=config.model.scale_init,
-                    integrator_detach=tuple(config.model.integrator_detach)),
+                    integrator_detach=tuple(config.model.integrator_detach),
+                    pushforward=config.model.pushforward),
         loss_weights=config.training.loss_weights)
     model.set_stats(meta["stats"])
 

@@ -239,6 +239,7 @@ def main(argv: Optional[List[str]] = None):
                     remat=config.model.remat,
                     scale_init=config.model.scale_init,
                     integrator_detach=tuple(config.model.integrator_detach),
+                    pushforward=config.model.pushforward,
                     dropout_rate=config.training.dropout_rate),
         loss_weights=config.training.loss_weights)
 

@@ -62,8 +62,16 @@ def select_optimizer(cfg) -> optax.GradientTransformation:
 def pushforward_retarget(model, variables, tgraph, feats, pf: int):
     """Pushforward trick (reference train.py:247-252): unroll ``pf`` no-grad
     rollout steps from the current state, feed the perturbed state back as
-    input features, and retarget cell_y at the original final-step state.
-    Shared by the single-chip and data-parallel train steps."""
+    input features, and retarget cell_y at the window's final state.
+    Shared by the single-chip and data-parallel train steps.
+
+    The target is rebuilt from the graph's ground truth: the reference keeps
+    the ABSOLUTE final state in ``y`` (FvgnD.transform_features,
+    Fvgn.py:803) and subtracts the pushed state after the unroll
+    (train.py:250); difference-form ``cell_y`` (every other family) would
+    leave the target wrong by v0, so we read v_final from the trajectory
+    window directly instead of trusting the pre-unroll ``cell_y``."""
+    v_final = jax.lax.stop_gradient(tgraph.cell_velocity[:, -1, 0:2])
     for _ in range(pf):
         outputs, _ = model.forward(
             jax.lax.stop_gradient(variables), tgraph, feats, mode="rollout")
@@ -72,7 +80,7 @@ def pushforward_retarget(model, variables, tgraph, feats, pf: int):
         feats = model.update_features(sol, feats, tgraph)
     feats = dict(feats)
     feats["cell_y"] = (feats["cell_y"].at[:, 0:2].set(
-        feats["cell_y"][:, 0:2] - feats["cell_x"][:, 0:2]))
+        v_final - feats["cell_x"][:, 0:2]))
     return feats
 
 

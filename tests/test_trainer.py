@@ -269,3 +269,61 @@ def test_tensorboard_sink(tmp_path):
     tb_dir = os.path.join(lg.directory, "tb")
     assert os.path.isdir(tb_dir) and any(
         "tfevents" in f for f in os.listdir(tb_dir))
+
+
+def test_pushforward_retarget_targets_final_state():
+    """The retargeted cell_y must equal v_final - v_pushed (reference
+    train.py:250 with FvgnD's absolute-y convention, Fvgn.py:803) — NOT
+    (v_final - v0) - v_pushed, which a difference-form cell_y would give."""
+    import numpy as np
+
+    from gnn_fluid_dynamics_tpu.data.pipeline import MeshDataset, Trajectory
+    from gnn_fluid_dynamics_tpu.data.synthetic import (make_geometry,
+                                                       taylor_green_trajectory)
+    from gnn_fluid_dynamics_tpu.models import get_model_class
+    from gnn_fluid_dynamics_tpu.models.base import (ModelConfig,
+                                                    feature_masks)
+    from gnn_fluid_dynamics_tpu.models.normalizer import StatsAccumulator
+    from gnn_fluid_dynamics_tpu.training.trainer import pushforward_retarget
+
+    geom = make_geometry("structured", nx=6, ny=4)
+    fields = taylor_green_trajectory(geom, num_timesteps=8, dt=0.01)
+    trajs = [Trajectory(mesh_id="m", geom=geom, fields=dict(fields))]
+    ds = MeshDataset(trajs, stride=1, data_window=4, pad_multiple=32)
+    model = get_model_class("FvgnD")(ModelConfig(hidden_width=16, mp_num=1))
+    graph = ds.get_batch(ds.sample_map[:1])
+    _, feats = model.transform_features(graph, None, mode="rollout")
+    acc = StatsAccumulator(model.nmap)
+    acc.update(feats, feature_masks(graph, feats))
+    model.set_stats(acc.finalize())
+    variables = model.init(jax.random.PRNGKey(0), graph, feats)
+
+    _, f = model.transform_features(graph, None, mode="train")
+    # stats-only cell_y under pushforward: one-step difference of the window
+    np.testing.assert_allclose(
+        np.asarray(f["cell_y"]),
+        np.asarray(graph.cell_velocity[:, -1] - graph.cell_velocity[:, -2]),
+        rtol=1e-6)
+    f2 = pushforward_retarget(model, variables, graph, dict(f), 2)
+    v_final = np.asarray(graph.cell_velocity[:, -1, 0:2])
+    pushed = np.asarray(f2["cell_x"][:, 0:2])
+    np.testing.assert_allclose(np.asarray(f2["cell_y"][:, 0:2]),
+                               v_final - pushed, rtol=1e-5, atol=1e-6)
+    # the unroll must actually move the state off the t0 input
+    assert float(np.abs(pushed - np.asarray(f["cell_x"][:, 0:2])).max()) > 0
+
+
+def test_pushforward_config_override_enables_any_model():
+    """model.pushforward: true turns the trainer's unroll on for families
+    whose class flag is False (e.g. FluxD), and false disables FvgnD's."""
+    from gnn_fluid_dynamics_tpu.models import get_model_class
+    from gnn_fluid_dynamics_tpu.models.base import ModelConfig
+
+    fluxd = get_model_class("FluxD")(
+        ModelConfig(hidden_width=16, mp_num=1, pushforward=True))
+    assert fluxd.pushforward_use
+    fvgnd_off = get_model_class("FvgnD")(
+        ModelConfig(hidden_width=16, mp_num=1, pushforward=False))
+    assert not fvgnd_off.pushforward_use
+    default = get_model_class("FluxD")(ModelConfig(hidden_width=16, mp_num=1))
+    assert not default.pushforward_use
