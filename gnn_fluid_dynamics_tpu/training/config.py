@@ -130,6 +130,10 @@ class TrainingConfig:
     noise_std: Optional[float] = None
     noise_std_norm: Optional[float] = 0.045
     pushforward_factor: Optional[int] = None
+    # epochs of plain one-step training before the pushforward unroll kicks
+    # in (an untrained model's unrolled states make the retargeted Delta-v
+    # supervision chaotic; see TRAINING.md)
+    pushforward_warmup_epochs: int = 0
     dropout_rate: float = 0.0
     loss_weights: Dict[str, float] = field(default_factory=lambda: {
         "continuity": 0.0, "cell_velocity_change": 10.0, "cell_velocity": 10.0,

@@ -144,12 +144,12 @@ class Trainer:
             rng=rng)
 
     # ---- jitted step ---------------------------------------------------------
-    def _build_train_step(self):
+    def _build_train_step(self, with_pf: bool = True):
         model = self.model
         optimizer = self.optimizer
         noise_std = float(self.config.training.noise_std or 0.0)
         pf = int(self.config.training.pushforward_factor or 0)
-        use_pf = pf > 0 and model.pushforward_use
+        use_pf = with_pf and pf > 0 and model.pushforward_use
 
         def loss_fn(params, batch_stats, graph, feats, rng):
             variables = {"params": params, "batch_stats": batch_stats}
@@ -187,9 +187,18 @@ class Trainer:
         return jax.jit(step, donate_argnums=(0,))
 
     def train_step(self, state: TrainState, graph: MeshGraph, lr: float):
+        # pushforward warmup: an untrained model's unrolled states are
+        # garbage, so the retargeted Delta-v supervision is chaotic — train
+        # plain one-step for the first `pushforward_warmup_epochs`, then
+        # switch to the unrolled step (separate compiled function)
+        warmup = int(getattr(self.config.training,
+                             "pushforward_warmup_epochs", 0) or 0)
+        with_pf = self.epoch_count > warmup
         if self._train_step_fn is None:
-            self._train_step_fn = self._build_train_step()
-        state, losses, grads = self._train_step_fn(
+            self._train_step_fn = {}
+        if with_pf not in self._train_step_fn:
+            self._train_step_fn[with_pf] = self._build_train_step(with_pf)
+        state, losses, grads = self._train_step_fn[with_pf](
             state, graph, jnp.asarray(lr, jnp.float32))
         self._last_grads = grads
         return state, losses

@@ -327,3 +327,45 @@ def test_pushforward_config_override_enables_any_model():
     assert not fvgnd_off.pushforward_use
     default = get_model_class("FluxD")(ModelConfig(hidden_width=16, mp_num=1))
     assert not default.pushforward_use
+
+
+def test_pushforward_warmup_switches_step_function():
+    """pushforward_warmup_epochs: the trainer must run the plain one-step
+    update during warmup and the unrolled one afterwards."""
+    from gnn_fluid_dynamics_tpu.data.pipeline import MeshDataset, Trajectory
+    from gnn_fluid_dynamics_tpu.data.synthetic import (make_geometry,
+                                                       taylor_green_trajectory)
+    from gnn_fluid_dynamics_tpu.models import get_model_class
+    from gnn_fluid_dynamics_tpu.models.base import (ModelConfig,
+                                                    feature_masks)
+    from gnn_fluid_dynamics_tpu.models.normalizer import StatsAccumulator
+    from gnn_fluid_dynamics_tpu.training.config import Config
+    from gnn_fluid_dynamics_tpu.training.trainer import Trainer
+
+    geom = make_geometry("structured", nx=6, ny=4)
+    fields = taylor_green_trajectory(geom, num_timesteps=8, dt=0.01)
+    ds = MeshDataset([Trajectory(mesh_id="m", geom=geom,
+                                 fields=dict(fields))],
+                     stride=1, data_window=4, pad_multiple=32)
+    cfg = Config()
+    cfg.training.noise_std = 0.0
+    cfg.training.pushforward_factor = 2
+    cfg.training.pushforward_warmup_epochs = 3
+    model = get_model_class("FvgnD")(ModelConfig(hidden_width=16, mp_num=1),
+                                     loss_weights=cfg.training.loss_weights)
+    graph = ds.get_batch(ds.sample_map[:1])
+    _, feats = model.transform_features(graph, None, mode="rollout")
+    acc = StatsAccumulator(model.nmap)
+    acc.update(feats, feature_masks(graph, feats))
+    model.set_stats(acc.finalize())
+
+    trainer = Trainer(cfg, model)
+    state = trainer.init_state(jax.random.PRNGKey(0), graph, feats)
+
+    trainer.epoch_count = 1          # within warmup
+    state, _ = trainer.train_step(state, graph, 1e-3)
+    assert set(trainer._train_step_fn) == {False}
+    trainer.epoch_count = 4          # past warmup
+    state, _ = trainer.train_step(state, graph, 1e-3)
+    assert set(trainer._train_step_fn) == {False, True}
+    assert np.all(np.isfinite(jax.tree.leaves(state.params)[0]))
