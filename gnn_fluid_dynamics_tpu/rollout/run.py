@@ -148,8 +148,9 @@ def main(argv: Optional[List[str]] = None):
         scalars, evo = error_summary(errors, sim_ids)
         with open(os.path.join(out_dir, "errors.json"), "w") as f:
             json.dump({"scalar": scalars, "evolution": evo}, f, indent=2)
-        print(f"velocity_error mean_all: "
-              f"{scalars['velocity_error']['mean_all']:.4e}")
+        for key in ("velocity_error", "pressure_error", "divergence_error"):
+            if key in scalars:
+                print(f"{key} mean_all: {scalars[key]['mean_all']:.4e}")
 
     if args.save == "full":
         writer = SimulationWriter(os.path.join(out_dir, "data0.h5"),
