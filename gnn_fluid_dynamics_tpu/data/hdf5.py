@@ -193,7 +193,9 @@ class H5Store:
             _ensure_derived(partial)
             for k in DERIVED_KEYS:
                 self._put((mesh_id, k), partial[k])
-            return self._cache[ck]
+            # NOT self._cache[ck]: a tight cache_entries bound can evict ck
+            # inside _put before we read it back
+            return partial[key]
         raise KeyError((mesh_id, key))
 
     def geom_keys(self, mesh_id: str):

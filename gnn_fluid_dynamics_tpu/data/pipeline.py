@@ -274,6 +274,14 @@ class MeshDataset:
     def _batched_static(self, mesh_ids: Tuple[str, ...]) -> MeshGraph:
         if mesh_ids not in self._batched_cache:
             pad = self._pad_for(mesh_ids)
+            if self.with_banded and len(
+                    {self.bucket_of[m] for m in mesh_ids}) > 1:
+                # pre-ensure the canon spec for this pad across ALL meshes
+                # BEFORE building member graphs: a later member's
+                # _canon_tables may otherwise widen the spec mid-batch and
+                # invalidate graphs already built for earlier members,
+                # mixing band offsets inside one batch
+                self._ensure_canon(pad, [t.mesh_id for t in self.trajectories])
             while len(self._batched_cache) >= self._batched_cache_size:
                 self._batched_cache.pop(next(iter(self._batched_cache)))
             self._batched_cache[mesh_ids] = batch_graphs(

@@ -52,7 +52,8 @@ def replicate(tree, mesh: Mesh):
 def make_dp_train_step(model, optimizer: optax.GradientTransformation,
                        mesh: Mesh, noise_std: float = 0.0,
                        pushforward_factor: int = 0,
-                       axis_name: str = "data") -> Callable:
+                       axis_name: str = "data",
+                       with_pf: bool = True) -> Callable:
     """Build the jitted data-parallel train step.
 
     Returns ``step(state, device_graphs, lr) -> (state, losses)`` where
@@ -64,9 +65,11 @@ def make_dp_train_step(model, optimizer: optax.GradientTransformation,
     """
     from jax.experimental.shard_map import shard_map
     from gnn_fluid_dynamics_tpu.training.trainer import (TrainState, _set_lr,
-                                                         pushforward_retarget)
+                                                         pushforward_retarget,
+                                                         warmup_window)
     pf = int(pushforward_factor or 0)
-    use_pf = pf > 0 and model.pushforward_use
+    use_pf = with_pf and pf > 0 and model.pushforward_use
+    warm_slice = (not with_pf) and pf > 0 and model.pushforward_use
 
     def loss_fn(params, batch_stats, graph, feats, rng):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -78,6 +81,9 @@ def make_dp_train_step(model, optimizer: optax.GradientTransformation,
     def local_step(state: TrainState, graphs: MeshGraph, lr):
         # drop the leading (1,) device axis
         graph = jax.tree.map(lambda x: x[0], graphs)
+        if warm_slice:
+            # pushforward warmup: one-step-consistent supervision
+            graph = warmup_window(graph)
         # decorrelate per-device RNG streams
         rng = jax.random.fold_in(state.rng, jax.lax.axis_index(axis_name))
         rng, k_feat, k_drop = jax.random.split(rng, 3)

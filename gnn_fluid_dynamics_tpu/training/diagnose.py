@@ -179,8 +179,9 @@ def main(argv: Optional[list] = None):
             flag = ""
             if r["tgt_std"] > 0 and r["pred_std"] < 0.05 * r["tgt_std"]:
                 flag = "  << COLLAPSED (constant prediction)"
+            rel = float("nan") if r["rel"] is None else r["rel"]
             print(f"  {name:24s} {space:10s} corr {r['corr']:+.3f} "
-                  f"rel {r['rel']:-8.3f} pred(m={r['pred_mean']:+.4f},"
+                  f"rel {rel:-8.3f} pred(m={r['pred_mean']:+.4f},"
                   f"s={r['pred_std']:.4f}) tgt(m={r['tgt_mean']:+.4f},"
                   f"s={r['tgt_std']:.4f}){flag}")
     for path, val in scalars.items():

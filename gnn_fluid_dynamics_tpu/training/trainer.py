@@ -84,6 +84,24 @@ def pushforward_retarget(model, variables, tgraph, feats, pf: int):
     return feats
 
 
+_WINDOW_FIELDS = ("cell_velocity", "cell_pressure", "face_velocity",
+                  "face_pressure", "face_flux")
+
+
+def warmup_window(graph: MeshGraph) -> MeshGraph:
+    """Slice a pushforward-sized trajectory window down to its final 2 steps.
+
+    During pushforward warmup epochs the retarget is skipped, but a
+    pushforward model's ``transform_features`` still takes its input state
+    from t=0 and its targets from t=-1 — supervising ``pushforward_factor``
+    steps ahead of the input. Restricting the window to [-2:] makes warmup a
+    plain, consistent one-step problem: input = v[-2], targets at v[-1]."""
+    upd = {k: getattr(graph, k)[:, -2:] for k in _WINDOW_FIELDS
+           if getattr(graph, k) is not None
+           and getattr(graph, k).shape[1] > 2}
+    return graph.replace(**upd) if upd else graph
+
+
 def _set_lr(opt_state, lr):
     """Poke the injected learning rate (the torch ``param_group['lr']``
     equivalent). Works for both plain and chained optimizers."""
@@ -150,6 +168,9 @@ class Trainer:
         noise_std = float(self.config.training.noise_std or 0.0)
         pf = int(self.config.training.pushforward_factor or 0)
         use_pf = with_pf and pf > 0 and model.pushforward_use
+        # warmup with a pushforward model: shrink the window so supervision
+        # is one-step consistent (see warmup_window; ADVICE r2 medium #1)
+        warm_slice = (not with_pf) and pf > 0 and model.pushforward_use
 
         def loss_fn(params, batch_stats, graph, feats, rng):
             variables = {"params": params, "batch_stats": batch_stats}
@@ -161,6 +182,8 @@ class Trainer:
 
         def step(state: TrainState, graph: MeshGraph, lr):
             rng, k_feat, k_drop = jax.random.split(state.rng, 3)
+            if warm_slice:
+                graph = warmup_window(graph)
             tgraph, feats = model.transform_features(
                 graph, k_feat, mode="train", noise_std=noise_std)
             if use_pf:
@@ -204,15 +227,21 @@ class Trainer:
         return state, losses
 
     def dp_train_step(self, state: TrainState, device_graphs, lr: float):
+        warmup = int(getattr(self.config.training,
+                             "pushforward_warmup_epochs", 0) or 0)
+        with_pf = self.epoch_count > warmup
         if self._dp_step_fn is None:
+            self._dp_step_fn = {}
+        if with_pf not in self._dp_step_fn:
             from gnn_fluid_dynamics_tpu.parallel.data_parallel import (
                 make_dp_train_step)
-            self._dp_step_fn = make_dp_train_step(
+            self._dp_step_fn[with_pf] = make_dp_train_step(
                 self.model, self.optimizer, self.dp_mesh,
                 noise_std=float(self.config.training.noise_std or 0.0),
                 pushforward_factor=int(
-                    self.config.training.pushforward_factor or 0))
-        return self._dp_step_fn(state, device_graphs, lr)
+                    self.config.training.pushforward_factor or 0),
+                with_pf=with_pf)
+        return self._dp_step_fn[with_pf](state, device_graphs, lr)
 
     def _host_state(self, state: TrainState) -> TrainState:
         """Pull a (replicated) DP state to host for validation/checkpoint."""

@@ -369,3 +369,46 @@ def test_pushforward_warmup_switches_step_function():
     state, _ = trainer.train_step(state, graph, 1e-3)
     assert set(trainer._train_step_fn) == {False, True}
     assert np.all(np.isfinite(jax.tree.leaves(state.params)[0]))
+
+
+def test_warmup_window_makes_supervision_one_step():
+    """During pushforward warmup the supervised pair must be
+    (input=v[-2], target=v[-1]-v[-2]) — not input v[0] against targets at
+    t=-1, which trains the model to jump pushforward_factor steps."""
+    from gnn_fluid_dynamics_tpu.data.pipeline import MeshDataset, Trajectory
+    from gnn_fluid_dynamics_tpu.data.synthetic import (make_geometry,
+                                                       taylor_green_trajectory)
+    from gnn_fluid_dynamics_tpu.models import get_model_class
+    from gnn_fluid_dynamics_tpu.models.base import ModelConfig
+    from gnn_fluid_dynamics_tpu.training.trainer import warmup_window
+
+    geom = make_geometry("structured", nx=6, ny=4)
+    fields = taylor_green_trajectory(geom, num_timesteps=8, dt=0.01)
+    ds = MeshDataset([Trajectory(mesh_id="m", geom=geom,
+                                 fields=dict(fields))],
+                     stride=1, data_window=4, pad_multiple=32)
+    model = get_model_class("FvgnD")(ModelConfig(hidden_width=16, mp_num=1))
+    graph = ds.get_batch(ds.sample_map[:1])
+
+    wgraph = warmup_window(graph)
+    assert wgraph.cell_velocity.shape[1] == 2
+    np.testing.assert_allclose(np.asarray(wgraph.cell_velocity),
+                               np.asarray(graph.cell_velocity[:, -2:]))
+    # geometry untouched
+    np.testing.assert_allclose(np.asarray(wgraph.cell_pos),
+                               np.asarray(graph.cell_pos))
+
+    _, f = model.transform_features(wgraph, None, mode="train")
+    np.testing.assert_allclose(
+        np.asarray(f["cell_x"][:, 0:2]),
+        np.asarray(graph.cell_velocity[:, -2]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(f["cell_y"]),
+        np.asarray(graph.cell_velocity[:, -1]
+                   - graph.cell_velocity[:, -2]), rtol=1e-6)
+    # face targets at t=-1 are now one step ahead of the input state
+    np.testing.assert_allclose(
+        np.asarray(f["face_y"][:, 0:2]),
+        np.asarray(graph.face_velocity[:, -1]), rtol=1e-6)
+    # a 2-step window passes through unchanged
+    assert warmup_window(wgraph) is wgraph
