@@ -323,6 +323,28 @@ class MeshDataset:
     def get_item(self, idx: int) -> MeshGraph:
         return self.get_batch([self.sample_map[idx]])
 
+    def get_batch_stack(self, sample_batches: Sequence[Sequence[Tuple[str, int]]]
+                        ) -> Tuple[MeshGraph, Dict[str, jax.Array]]:
+        """Assemble ``k`` consecutive batches that share ONE mesh combination
+        as (static batched graph, {field: (k, N, W, D)}) — the input of the
+        trainer's scan-fused multi-step path. The static graph (geometry +
+        banded tables) is built/transferred once per combination and reused
+        from the batched cache; only the stacked field windows move per call."""
+        mesh_ids = tuple(m for m, _ in sample_batches[0])
+        assert all(tuple(m for m, _ in sb) == mesh_ids
+                   for sb in sample_batches), "batches must share a mesh combo"
+        g = self._batched_static(mesh_ids)
+        pad = self._pad_for(mesh_ids)
+        per_key: Dict[str, list] = {}
+        for sb in sample_batches:
+            winds = [self._window(m, ts, pad) for m, ts in sb]
+            for key in FIELD_KEYS:
+                if key in winds[0]:
+                    per_key.setdefault(key, []).append(
+                        np.concatenate([w[key] for w in winds], axis=0))
+        stack = {key: jnp.asarray(np.stack(v)) for key, v in per_key.items()}
+        return g, stack
+
     # ---- rollout ground truth ----------------------------------------------
     def trajectory_fields(self, mesh_ids: Sequence[str], t0: int,
                           num_steps: int,
@@ -403,6 +425,56 @@ def prefetch(batch_iter, dataset: MeshDataset, size: int = 2):
         try:
             for samples in batch_iter:
                 q.put(dataset.get_batch(samples))
+        finally:
+            q.put(SENTINEL)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is SENTINEL:
+            break
+        yield item
+
+
+def prefetch_grouped(batch_iter, dataset: MeshDataset, k: int,
+                     size: int = 2):
+    """Grouped double-buffered prefetch for the scan-fused train step.
+
+    Collects runs of consecutive sample-batches that share a mesh
+    combination (what ``balanced_chunked`` emits) into groups of exactly
+    ``k`` and assembles them via :meth:`MeshDataset.get_batch_stack`; runs
+    shorter than ``k`` (chunk tails, combo changes) fall back to plain
+    batches. Yields ``("multi", graph, field_stack)`` or
+    ``("single", graph)``."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=size)
+    SENTINEL = object()
+
+    def assemble(run):
+        while len(run) >= k:
+            group, rest = run[:k], run[k:]
+            g, stack = dataset.get_batch_stack(group)
+            q.put(("multi", g, stack))
+            run = rest
+        for samples in run:
+            q.put(("single", dataset.get_batch(samples)))
+
+    def worker():
+        try:
+            run, cur = [], None
+            for samples in batch_iter:
+                ids = tuple(m for m, _ in samples)
+                if ids != cur:
+                    assemble(run)
+                    run, cur = [], ids
+                run.append(samples)
+                if len(run) == k:
+                    assemble(run)
+                    run = []
+            assemble(run)
         finally:
             q.put(SENTINEL)
 

@@ -145,6 +145,11 @@ class TrainingConfig:
     # TPU-native extras
     pad_multiple: int = 128
     prefetch_buffer: int = 2
+    # fuse this many optimizer steps into ONE jitted lax.scan call when
+    # consecutive batches share a mesh combination (balanced_chunked): on a
+    # tunneled TPU per-call dispatch latency dominates the ~12 ms of step
+    # compute. Best when it divides mini_epoch_size // batch_size.
+    steps_per_call: int = 1
 
 
 @dataclass

@@ -290,6 +290,12 @@ def main(argv: Optional[List[str]] = None):
                         num_valid_steps=num_valid_steps)
     if logger:
         logger.close()
+    if trainer.epoch_count < config.training.epochs:
+        # GFD_EPOCH_LIMIT break: signal the chain runner to restart with
+        # --resume latest (rc 3 = "incomplete but resumable")
+        print(f"Epoch limit reached at {trainer.epoch_count}/"
+              f"{config.training.epochs}; resumable.")
+        sys.exit(3)
     return state
 
 

@@ -11,7 +11,7 @@ host-side schedule so schedule changes never recompile.
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -137,6 +137,7 @@ class Trainer:
         self.step_count = 0
         self.sample_count = 0
         self._train_step_fn = None
+        self._multi_step_fn = None
         self._pf_rollout_fn = None
         # data parallelism over an ICI mesh (reference's broken DDP,
         # train.py:398-415, made first-class): settings.multi_gpu keeps the
@@ -209,6 +210,80 @@ class Trainer:
 
         return jax.jit(step, donate_argnums=(0,))
 
+    def _build_multi_train_step(self, with_pf: bool = True):
+        """Scan-fused variant of the train step: ``k`` optimizer steps over
+        one static batched graph with stacked field windows, in ONE jitted
+        call. On a tunneled TPU, per-call dispatch latency (~50-70 ms) dwarfs
+        the ~12 ms of step compute; fusing k steps amortizes it k-fold. The
+        per-step math is identical to :meth:`_build_train_step`."""
+        model = self.model
+        optimizer = self.optimizer
+        noise_std = float(self.config.training.noise_std or 0.0)
+        pf = int(self.config.training.pushforward_factor or 0)
+        use_pf = with_pf and pf > 0 and model.pushforward_use
+        warm_slice = (not with_pf) and pf > 0 and model.pushforward_use
+
+        def loss_fn(params, batch_stats, graph, feats, rng):
+            variables = {"params": params, "batch_stats": batch_stats}
+            outputs, updates = model.forward(variables, graph, feats,
+                                             mode="train",
+                                             rngs={"dropout": rng})
+            losses = model.loss(outputs, feats, graph)
+            return losses["total_log_loss"], (losses, updates)
+
+        def step(state: TrainState, graph: MeshGraph, field_stack, lrs):
+            def body(carry, xs):
+                state, _ = carry
+                fields, lr = xs
+                g = graph.replace(**fields)
+                if warm_slice:
+                    g = warmup_window(g)
+                rng, k_feat, k_drop = jax.random.split(state.rng, 3)
+                tgraph, feats = model.transform_features(
+                    g, k_feat, mode="train", noise_std=noise_std)
+                if use_pf:
+                    variables = {"params": state.params,
+                                 "batch_stats": state.batch_stats}
+                    feats = pushforward_retarget(model, variables, tgraph,
+                                                 feats, pf)
+                grads, (losses, updates) = jax.grad(loss_fn, has_aux=True)(
+                    state.params, state.batch_stats, tgraph, feats, k_drop)
+                opt_state = _set_lr(state.opt_state, lr)
+                p_updates, opt_state = optimizer.update(grads, opt_state,
+                                                        state.params)
+                params = optax.apply_updates(state.params, p_updates)
+                new_state = TrainState(
+                    params=params,
+                    batch_stats=updates.get("batch_stats", state.batch_stats),
+                    opt_state=opt_state,
+                    step=state.step + 1,
+                    rng=rng)
+                return (new_state, grads), losses
+
+            grads0 = jax.tree.map(jnp.zeros_like, state.params)
+            (state, grads), losses = jax.lax.scan(
+                body, (state, grads0), (field_stack, lrs))
+            return state, losses, (grads if self.monitor is not None
+                                   else None)
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def train_step_multi(self, state: TrainState, graph: MeshGraph,
+                         field_stack, lrs) -> Tuple:
+        """Run ``len(lrs)`` fused steps (see _build_multi_train_step);
+        returns (state, stacked_losses)."""
+        warmup = int(getattr(self.config.training,
+                             "pushforward_warmup_epochs", 0) or 0)
+        with_pf = self.epoch_count > warmup
+        if self._multi_step_fn is None:
+            self._multi_step_fn = {}
+        if with_pf not in self._multi_step_fn:
+            self._multi_step_fn[with_pf] = self._build_multi_train_step(with_pf)
+        state, losses, grads = self._multi_step_fn[with_pf](
+            state, graph, field_stack, jnp.asarray(lrs, jnp.float32))
+        self._last_grads = grads
+        return state, losses
+
     def train_step(self, state: TrainState, graph: MeshGraph, lr: float):
         # pushforward warmup: an untrained model's unrolled states are
         # garbage, so the retargeted Delta-v supervision is chaotic — train
@@ -276,7 +351,15 @@ class Trainer:
             from gnn_fluid_dynamics_tpu.parallel.data_parallel import (
                 replicate, shard_batch)
             state = replicate(state, self.dp_mesh)
+        # bound epochs per process (host-RSS growth on tunneled TPU,
+        # TRAINING.md "Ops note"): the chain script restarts with --resume
+        import os
+        epoch_limit = int(os.environ.get("GFD_EPOCH_LIMIT", "0") or 0)
+        epochs_this_run = 0
         for _ in range(t.epochs - self.epoch_count):
+            if epoch_limit and epochs_this_run >= epoch_limit:
+                break
+            epochs_this_run += 1
             self.epoch_count += 1
             if self.dp_mesh is not None:
                 # global batch split across devices (reference train.py:407)
@@ -295,28 +378,52 @@ class Trainer:
                              for i in range(n_dev)], self.dp_mesh)
                 batch_iter = dev_batches()
             else:
-                batch_iter = prefetch(
-                    get_sampler(cfg.dataset.sampler)(
-                        train_dataset, t.batch_size, np_rng),
-                    train_dataset, size=t.prefetch_buffer)
-            for graph in batch_iter:
-                self.step_count += 1
-                self.sample_count += (graph.num_graphs if n_dev == 1
-                                      else per_dev * n_dev)
-                lr = schedule(self.mini_epoch_count)
-                if self.dp_mesh is not None:
-                    state, losses = self.dp_train_step(state, graph, lr)
+                spc = max(1, int(getattr(t, "steps_per_call", 1) or 1))
+                sampler_iter = get_sampler(cfg.dataset.sampler)(
+                    train_dataset, t.batch_size, np_rng)
+                if spc > 1:
+                    from gnn_fluid_dynamics_tpu.data.pipeline import (
+                        prefetch_grouped)
+                    batch_iter = prefetch_grouped(sampler_iter, train_dataset,
+                                                  spc, size=t.prefetch_buffer)
                 else:
+                    batch_iter = (("single", g) for g in prefetch(
+                        sampler_iter, train_dataset, size=t.prefetch_buffer))
+            for item in batch_iter:
+                if self.dp_mesh is not None:
+                    graph = item
+                    self.step_count += 1
+                    self.sample_count += per_dev * n_dev
+                    lr = schedule(self.mini_epoch_count)
+                    state, losses = self.dp_train_step(state, graph, lr)
+                elif item[0] == "multi":
+                    _, graph, field_stack = item
+                    n = next(iter(field_stack.values())).shape[0]
+                    lr = schedule(self.mini_epoch_count)
+                    self.step_count += n
+                    self.sample_count += graph.num_graphs * n
+                    state, losses = self.train_step_multi(
+                        state, graph, field_stack, np.full((n,), lr))
+                else:
+                    graph = item[1]
+                    self.step_count += 1
+                    self.sample_count += graph.num_graphs
+                    lr = schedule(self.mini_epoch_count)
                     state, losses = self.train_step(state, graph, lr)
                 # defer device reads: fetching each loss scalar per step
                 # costs a blocking host<->device round trip
                 pending_losses.append(losses)
 
-                if self.step_count % steps_per_mini_epoch == 0:
+                # crossing-based boundary: a fused call advances step_count
+                # by steps_per_call, which need not hit exact multiples
+                if (self.step_count // steps_per_mini_epoch
+                        > self.mini_epoch_count):
                     self.mini_epoch_count += 1
                     for fetched in jax.device_get(pending_losses):
                         for k, v in fetched.items():
-                            mini_losses[k] = mini_losses.get(k, 0.0) + float(v)
+                            # fused calls return (steps_per_call,) stacks
+                            mini_losses[k] = (mini_losses.get(k, 0.0)
+                                              + float(np.sum(v)))
                     pending_losses = []
                     me_time = time.time() - me_start
                     # grad/param monitoring (reference train.py:258-277)
@@ -360,20 +467,38 @@ class Trainer:
                                "sample_count": self.sample_count}, prefix="train")
                     mini_losses = {}
                     me_start = time.time()
+        if (self.checkpointer is not None
+                and self.epoch_count < t.epochs):
+            # epoch-limit break between mini-epoch boundaries: persist the
+            # tail steps so the chained restart loses nothing
+            self.checkpointer.save(self._host_state(state), self,
+                                   mini_losses,
+                                   valid_losses=getattr(self, "_last_valid",
+                                                        None))
         return state
 
     # ---- validation (reference train.py:286-303) ----------------------------
     def validate(self, state: TrainState, valid_dataset: MeshDataset,
                  num_steps: int) -> Dict[str, float]:
         t0 = time.time()
-        samples = rollout_batch(valid_dataset)
-        from gnn_fluid_dynamics_tpu.graph import to_static_bands
-        # bake band offsets static: one fixed mesh set -> one compile, and
-        # the rollout scan gets the fast constant-offset slice path
-        graph = to_static_bands(valid_dataset.get_batch(samples))
-        _, feats = self.model.transform_rollout(graph)
-        gt_v, gt_p = valid_dataset.trajectory_targets(
-            [m for m, _ in samples], samples[0][1], num_steps)
+        # the validation inputs (batched graph at t0, features, ground-truth
+        # stacks) are constant across calls — assemble + transfer them ONCE
+        # and keep them on device: on a tunneled TPU the per-call host
+        # assembly + gt transfer costs ~2 min of every validation
+        vkey = (id(valid_dataset), num_steps)
+        if getattr(self, "_valid_inputs_key", None) != vkey:
+            samples = rollout_batch(valid_dataset)
+            from gnn_fluid_dynamics_tpu.graph import to_static_bands
+            # bake band offsets static: one fixed mesh set -> one compile,
+            # and the rollout scan gets the fast constant-offset slice path
+            graph = to_static_bands(valid_dataset.get_batch(samples))
+            _, feats = self.model.transform_rollout(graph)
+            gt_v, gt_p = valid_dataset.trajectory_targets(
+                [m for m, _ in samples], samples[0][1], num_steps)
+            gt_v, gt_p = jnp.asarray(gt_v), jnp.asarray(gt_p)
+            self._valid_inputs = (graph, feats, gt_v, gt_p)
+            self._valid_inputs_key = vkey
+        graph, feats, gt_v, gt_p = self._valid_inputs
         snapshot_indices = [i for i in self.config.rollout.snapshot_indices
                             if i < num_steps]
         # cache the jitted validation rollout: re-tracing a 15-block scan per

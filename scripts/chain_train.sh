@@ -1,0 +1,36 @@
+#!/usr/bin/env bash
+# Chained training runner for the tunneled-TPU host-RSS growth issue
+# (TRAINING.md "Ops note"): run training in bounded-epoch slices, restarting
+# from the latest checkpoint until the configured epochs complete.
+#
+#   GFD_EPOCH_LIMIT=6 scripts/chain_train.sh config/e2e/fluxd-r3.json [ckpt_dir] [log]
+#
+# Exit codes from the train CLI: 0 = all epochs done, 3 = epoch-limit break
+# (resume), anything else = crash (also resumed, bounded retries).
+set -u
+CONFIG=${1:?usage: chain_train.sh CONFIG [CKPT_DIR] [LOG]}
+CKPT=${2:-}
+LOG=${3:-/dev/stdout}
+MAX_RUNS=${MAX_RUNS:-40}
+
+CKPT_ARGS=()
+[ -n "$CKPT" ] && CKPT_ARGS=(--ckpt-dir "$CKPT")
+
+for i in $(seq 1 "$MAX_RUNS"); do
+    RESUME=()
+    if [ -n "$CKPT" ] && [ -e "$CKPT/latest.json" ]; then
+        RESUME=(--resume latest)
+    fi
+    echo "=== $(date +%T) chain run $i: ${RESUME[*]:-fresh} ===" >> "$LOG"
+    python -m gnn_fluid_dynamics_tpu.training.train --config "$CONFIG" \
+        "${CKPT_ARGS[@]}" "${RESUME[@]}" >> "$LOG" 2>&1
+    rc=$?
+    echo "=== $(date +%T) chain run $i exit=$rc ===" >> "$LOG"
+    if [ $rc -eq 0 ]; then
+        echo "chain: training complete" >> "$LOG"
+        exit 0
+    fi
+    sleep 5
+done
+echo "chain: MAX_RUNS exhausted" >> "$LOG"
+exit 1

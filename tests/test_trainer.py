@@ -2,6 +2,7 @@
 shapes, config round-trips."""
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -369,6 +370,103 @@ def test_pushforward_warmup_switches_step_function():
     state, _ = trainer.train_step(state, graph, 1e-3)
     assert set(trainer._train_step_fn) == {False, True}
     assert np.all(np.isfinite(jax.tree.leaves(state.params)[0]))
+
+
+def test_multi_step_matches_single_steps():
+    """The scan-fused k-step train call must reproduce k sequential
+    single-step calls bit-for-bit (same rng stream, same per-step math)."""
+    from gnn_fluid_dynamics_tpu.data.pipeline import MeshDataset, Trajectory
+    from gnn_fluid_dynamics_tpu.data.synthetic import (make_geometry,
+                                                       taylor_green_trajectory)
+    from gnn_fluid_dynamics_tpu.models import get_model_class
+    from gnn_fluid_dynamics_tpu.models.base import (ModelConfig,
+                                                    feature_masks)
+    from gnn_fluid_dynamics_tpu.models.normalizer import StatsAccumulator
+    from gnn_fluid_dynamics_tpu.training.config import Config
+    from gnn_fluid_dynamics_tpu.training.trainer import Trainer
+
+    geom = make_geometry("structured", nx=6, ny=4)
+    fields = taylor_green_trajectory(geom, num_timesteps=10, dt=0.01)
+    ds = MeshDataset([Trajectory(mesh_id="m", geom=geom,
+                                 fields=dict(fields))],
+                     stride=1, data_window=4, pad_multiple=32)
+    cfg = Config()
+    cfg.training.noise_std = 0.01
+    cfg.training.pushforward_factor = 2
+    cfg.training.pushforward_warmup_epochs = 0
+    model = get_model_class("FvgnD")(ModelConfig(hidden_width=16, mp_num=1),
+                                     loss_weights=cfg.training.loss_weights)
+    graph0 = ds.get_batch(ds.sample_map[:1])
+    _, feats = model.transform_features(graph0, None, mode="rollout")
+    acc = StatsAccumulator(model.nmap)
+    acc.update(feats, feature_masks(graph0, feats))
+    model.set_stats(acc.finalize())
+
+    trainer = Trainer(cfg, model)
+    trainer.epoch_count = 1          # past warmup (0)
+    state0 = trainer.init_state(jax.random.PRNGKey(0), graph0, feats)
+    k = 3
+    batches = [ds.sample_map[i:i + 1] for i in range(k)]
+    lrs = [1e-3, 1e-3, 5e-4]
+
+    s_single = jax.tree.map(jnp.copy, state0)
+    singles = []
+    for b, lr in zip(batches, lrs):
+        s_single, losses = trainer.train_step(s_single, ds.get_batch(b), lr)
+        singles.append(jax.device_get(losses))
+
+    s_multi = jax.tree.map(jnp.copy, state0)
+    g, stack = ds.get_batch_stack(batches)
+    s_multi, losses_m = trainer.train_step_multi(s_multi, g, stack, lrs)
+    losses_m = jax.device_get(losses_m)
+
+    for i, single in enumerate(singles):
+        for key in single:
+            np.testing.assert_allclose(losses_m[key][i], single[key],
+                                       rtol=1e-5, atol=1e-7,
+                                       err_msg=f"step {i} loss {key}")
+    for pa, pb in zip(jax.tree.leaves(s_single.params),
+                      jax.tree.leaves(s_multi.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-5, atol=1e-7)
+    # warmup epoch uses the warm-sliced variant without error
+    trainer.epoch_count = 0
+    cfg.training.pushforward_warmup_epochs = 5
+    s_w, losses_w = trainer.train_step_multi(
+        jax.tree.map(jnp.copy, state0), g, stack, lrs)
+    assert np.all(np.isfinite(jax.device_get(losses_w["total_log_loss"])))
+
+
+def test_prefetch_grouped_covers_and_groups():
+    """prefetch_grouped must cover every sampled batch exactly once,
+    grouping same-combo runs of k and falling back to singles for tails."""
+    from gnn_fluid_dynamics_tpu.data.pipeline import (MeshDataset, Trajectory,
+                                                      prefetch_grouped)
+    from gnn_fluid_dynamics_tpu.data.samplers import balanced_chunked_batches
+    from gnn_fluid_dynamics_tpu.data.synthetic import (make_geometry,
+                                                       taylor_green_trajectory)
+
+    trajs = []
+    for i in range(4):
+        geom = make_geometry("structured", nx=6 + i % 2, ny=4, seed=i)
+        fields = taylor_green_trajectory(geom, num_timesteps=9, dt=0.01)
+        trajs.append(Trajectory(mesh_id=f"m{i}", geom=geom,
+                                fields=dict(fields)))
+    ds = MeshDataset(trajs, stride=1, data_window=2, pad_multiple=32)
+    rng = np.random.default_rng(0)
+    expected = list(balanced_chunked_batches(ds, 2, np.random.default_rng(0)))
+    n_multi = n_single = covered = 0
+    for item in prefetch_grouped(balanced_chunked_batches(ds, 2, rng), ds, 3):
+        if item[0] == "multi":
+            n_multi += 1
+            k = next(iter(item[2].values())).shape[0]
+            assert k == 3
+            covered += k
+        else:
+            n_single += 1
+            covered += 1
+    assert covered == len(expected)
+    assert n_multi > 0
 
 
 def test_warmup_window_makes_supervision_one_step():
