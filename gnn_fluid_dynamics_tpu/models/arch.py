@@ -68,7 +68,11 @@ class MLP(nn.Module):
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
         x = nn.Dense(self.out_size, dtype=dt)(x)
         if self.layer_norm:
-            x = nn.LayerNorm(dtype=dt)(x)
+            # epsilon matches torch.nn.LayerNorm (1e-5): the reference's
+            # build_mlp (Model.py:12-40) uses the torch default, and the eps
+            # gap vs flax's 1e-6 is measurable (~0.2% outputs) on
+            # low-variance latents — required for one-step loss parity.
+            x = nn.LayerNorm(dtype=dt, epsilon=1e-5)(x)
         return x.astype(jnp.float32)
 
 
@@ -88,7 +92,7 @@ class AntisymMLP(nn.Module):
         x = nn.tanh(x)
         x = nn.Dense(self.out_size, use_bias=False)(x)
         if self.layer_norm:
-            x = nn.LayerNorm(use_bias=False)(x)
+            x = nn.LayerNorm(use_bias=False, epsilon=1e-5)(x)
         return x
 
 
