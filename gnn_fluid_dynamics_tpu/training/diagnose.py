@@ -73,9 +73,15 @@ def head_report(model, variables, graph, feats) -> dict:
                           fy[:, 3], fmask))
         if "cell_velocity_change" in out and cy is not None:
             pairs.append(("cell_velocity_change", out["cell_velocity_change"],
-                          cy, cmask))
-        if "cell_pressure" in out and cy is not None and "cell_p" not in out:
-            pass  # MGN-family cell pressure handled via cell_y layout below
+                          cy[:, 0:2], cmask))
+        # MGN/StreamFunc families: cell_y = [v_x, v_y, p] (Mgn.py:293,
+        # StreamFunc.py:56-63)
+        if "cell_velocity" in out and cy is not None and cy.shape[1] >= 2:
+            pairs.append(("cell_velocity", out["cell_velocity"],
+                          cy[:, 0:2], cmask))
+        if "cell_pressure" in out and cy is not None and cy.shape[1] >= 3:
+            pairs.append(("cell_pressure", out["cell_pressure"][:, 0],
+                          cy[:, 2], cmask))
         return pairs
 
     nfy = np.asarray(nfeats.get("face_y")) if "face_y" in nfeats else None

@@ -22,7 +22,7 @@ for i in $(seq 1 "$MAX_RUNS"); do
         RESUME=(--resume latest)
     fi
     echo "=== $(date +%T) chain run $i: ${RESUME[*]:-fresh} ===" >> "$LOG"
-    python -m gnn_fluid_dynamics_tpu.training.train --config "$CONFIG" \
+    PYTHONUNBUFFERED=1 python -m gnn_fluid_dynamics_tpu.training.train --config "$CONFIG" \
         "${CKPT_ARGS[@]}" "${RESUME[@]}" >> "$LOG" 2>&1
     rc=$?
     echo "=== $(date +%T) chain run $i exit=$rc ===" >> "$LOG"

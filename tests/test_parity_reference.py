@@ -43,13 +43,16 @@ from gnn_fluid_dynamics_tpu.models.normalizer import StatsAccumulator
 HIDDEN, MP = 16, 2
 
 
-def build_jax_side(name, loss_weights, num_timesteps=6, **cfg_extra):
+def build_jax_side(name, loss_weights, num_timesteps=6, grad_weights=False,
+                   **cfg_extra):
     """Unpadded single-mesh dataset + initialized JAX model + raw stats."""
     geom = make_geometry("cylinder", n_points=220, seed=3)
     fields = taylor_green_trajectory(geom, num_timesteps=num_timesteps,
                                      dt=0.01)
     ds = MeshDataset([Trajectory(mesh_id="m", geom=geom, fields=dict(fields))],
                      stride=1, data_window=2, pad_multiple=1)
+    if grad_weights:
+        ds.add_grad_weights("cell", 1)
     model = get_model_class(name)(
         ModelConfig(name=name, hidden_width=HIDDEN, mp_num=MP,
                     compute_dtype="float32", **cfg_extra),
@@ -254,6 +257,51 @@ def test_mgna_one_step_loss_parity():
         np.asarray(outputs["cell_pressure"]),
         ref_out["cell_pressure"].numpy(), rtol=2e-4, atol=1e-5)
     assert_losses_match(jax_losses, ref_losses)
+
+
+# ---------------------------------------------------------------------------
+# StreamFuncA (StreamFunc.py:109-135) — implementation-parity instrument for
+# the "StreamFuncA never learns" investigation: if the executed reference
+# produces the same losses, the learning failure is the variant's, not the
+# port's.
+# ---------------------------------------------------------------------------
+
+def test_streamfunca_one_step_loss_parity():
+    from models.StreamFunc import StreamFuncA as RefStreamFuncA
+    loss_weights = {"cell_velocity": 10.0, "cell_pressure": 1.0}
+    ds, model, graph, variables, raw_stats = build_jax_side(
+        "StreamFuncA", loss_weights, grad_weights=True)
+
+    tgraph, feats = model.transform_features(graph, None, mode="rollout")
+    outputs, _ = model.forward(variables, tgraph, feats, mode="train")
+    jax_losses = model.loss(outputs, feats, tgraph)
+
+    cfg = make_ref_config(HIDDEN, MP, loss_weights,
+                          cell_grad_weights_order=1)
+    dataset = make_ref_dataset(RefNodeType, cfg, mode="rollout")
+    ref = RefStreamFuncA(cfg, MSE_per_element_torch, dataset,
+                         stats_to_python(raw_stats))
+    copy_epd_weights(variables["params"]["EncodeProcessDecode_0"], ref, MP,
+                     jax_decoder_key="decoder_cell")
+    ref.train()
+
+    graphs = to_reference_graphs(graph)
+    graphs = RefStreamFuncA.transform_features(dataset, graphs)
+
+    np.testing.assert_allclose(np.asarray(feats["cell_y"]),
+                               graphs[0].y.numpy(), rtol=1e-6, atol=1e-7)
+
+    with torch.no_grad():
+        ref_out = ref(graphs, mode="train")
+        ref_losses = ref.loss(ref_out, graphs)
+
+    np.testing.assert_allclose(
+        np.asarray(outputs["cell_velocity"]),
+        ref_out["cell_velocity"].numpy(), rtol=5e-4, atol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(outputs["cell_pressure"]),
+        ref_out["cell_pressure"].numpy(), rtol=5e-4, atol=1e-5)
+    assert_losses_match(jax_losses, ref_losses, rtol=5e-4)
 
 
 if __name__ == "__main__":
