@@ -166,7 +166,10 @@ def to_reference_graphs(graph):
         pressure=_t(graph.face_pressure),
         flux=(_t(graph.face_flux) if graph.face_flux is not None else None),
         area=_t(graph.face_area).reshape(-1, 1),
-        type=_t(graph.face_type, torch.long).reshape(-1, 1),
+        # 1-D like the reference's real data: vertex_type is np.full(n_points,)
+        # (OpenFoam.py:122) so classify_edges yields (F,) — update_features'
+        # boolean row-mask (Fvgn.py:140-144) depends on this shape
+        type=_t(graph.face_type, torch.long).reshape(-1),
         face=_t(graph.face_index, torch.long),
         normal=_t(graph.face_normal),
         pos=_t(graph.face_pos) if graph.face_pos is not None else None,

@@ -304,6 +304,75 @@ def test_streamfunca_one_step_loss_parity():
     assert_losses_match(jax_losses, ref_losses, rtol=5e-4)
 
 
+# ---------------------------------------------------------------------------
+# 50-step autoregressive rollout parity (stretch goal): my lax.scan rollout
+# engine vs the reference's step loop (rollout.py:304-369 semantics: forward
+# in rollout mode -> derive cell_velocity/cell_pressure -> update_features).
+# ---------------------------------------------------------------------------
+
+def _interp_face_to_centroid(face_vals, face_index):
+    return (face_vals[face_index[0]] + face_vals[face_index[1]]
+            + face_vals[face_index[2]]) / 3.0
+
+
+def test_fluxd_50step_rollout_parity():
+    from gnn_fluid_dynamics_tpu.rollout.engine import (RolloutConfig,
+                                                       rollout_scan)
+
+    loss_weights = {"continuity": 0.1, "cell_velocity_change": 10.0,
+                    "face_velocity": 1.0, "face_flux": 1.0,
+                    "face_pressure": 1.0}
+    ds, model, graph, variables, raw_stats = build_jax_side("FluxD",
+                                                            loss_weights)
+    tgraph, feats = model.transform_features(graph, None, mode="rollout")
+
+    # --- JAX: the production rollout path (lax.scan, engine.py)
+    _, fields = rollout_scan(
+        model, variables, tgraph, feats,
+        config=RolloutConfig(num_steps=50, compute_error=False,
+                             save_fields=True))
+    jax_v = np.asarray(fields["cell_velocity"])          # (50, C, 2)
+    jax_p = np.asarray(fields["cell_pressure"])          # (50, C, 1)
+
+    # --- reference: eager step loop per rollout.py:313-369
+    cfg = make_ref_config(HIDDEN, MP, loss_weights)
+    dataset = make_ref_dataset(RefNodeType, cfg, mode="rollout")
+    ref = RefFluxD(cfg, MSE_per_element_torch, dataset,
+                   stats_to_python(raw_stats))
+    copy_epd_weights(variables["params"]["EncodeProcessDecode_0"], ref, MP)
+    copy_scalar_params(variables["params"], ref,
+                       ["velocity_scale_x", "velocity_scale_y",
+                        "pressure_scale", "flux_scale", "diffusion_scale"])
+    ref.eval()
+
+    graphs = to_reference_graphs(graph)
+    graphs = RefFluxD.transform_features(dataset, graphs)
+    ref_v, ref_p = [], []
+    with torch.no_grad():
+        for _ in range(50):
+            out = ref([g.clone() for g in graphs], mode="rollout")
+            solutions = dict(out)
+            solutions["cell_velocity"] = (graphs[0].x[:, 0:2]
+                                          + solutions["cell_velocity_change"])
+            solutions["cell_pressure"] = _interp_face_to_centroid(
+                solutions["face_pressure"], graphs[1].face)
+            ref_v.append(solutions["cell_velocity"].numpy().copy())
+            ref_p.append(solutions["cell_pressure"].numpy().copy())
+            graphs = ref.update_features(solutions, graphs)
+    ref_v, ref_p = np.stack(ref_v), np.stack(ref_p)
+
+    # feedback amplifies fp differences: tight at step 1, relative-to-field
+    # tolerance over the whole horizon
+    scale_v = np.abs(ref_v).max()
+    np.testing.assert_allclose(jax_v[0], ref_v[0], rtol=1e-3,
+                               atol=1e-5 * scale_v)
+    assert np.max(np.abs(jax_v - ref_v)) < 5e-3 * scale_v, (
+        np.max(np.abs(jax_v - ref_v)), scale_v)
+    scale_p = np.abs(ref_p).max()
+    assert np.max(np.abs(jax_p - ref_p)) < 5e-3 * scale_p, (
+        np.max(np.abs(jax_p - ref_p)), scale_p)
+
+
 if __name__ == "__main__":
     test_fvgna_one_step_loss_parity()
     print("FvgnA parity OK")
