@@ -63,13 +63,14 @@ class _VertPotModule(nn.Module):
             prev_c, prev_e = cell_attr, edge_attr
             cell_attr = CellBlock(self.cfg)(cell_attr, edge_attr, graph,
                                             None, train)
-            edge_attr = FaceBlock(self.cfg)(cell_attr, edge_attr, graph,
-                                            None, train)
+            e_raw = FaceBlock(self.cfg)(cell_attr, edge_attr, graph,
+                                        None, train)
             cell_attr = prev_c + cell_attr
-            edge_attr = prev_e + edge_attr
-            # Vertex block: un-residualed full-edge sum at the vertices
-            # (VertPot.py:203-222)
-            vertex_attr = aggregate_edges_to_vertices_sum(edge_attr, graph)
+            edge_attr = prev_e + e_raw
+            # Vertex block sums the PRE-residual edge output: the reference
+            # calls vertex_block on c_graph straight after edge_block, before
+            # the residual add (VertPot.py:201-208)
+            vertex_attr = aggregate_edges_to_vertices_sum(e_raw, graph)
 
         face_out = MLP(self.cfg.hidden, self.face_out, layer_norm=False,
                        dropout_rate=self.cfg.dropout_rate,

@@ -30,11 +30,29 @@ REFERENCE_SRC = "/root/reference/src"
 
 
 class Data:
-    """Minimal PyG ``torch_geometric.data.Data``: an attribute container."""
+    """Minimal PyG ``torch_geometric.data.Data``: an attribute container.
+
+    ``num_nodes`` mirrors PyG's behavior: an explicitly set value wins,
+    otherwise it is inferred from ``x`` / ``pos`` — intermediate graphs the
+    reference blocks build inline (e.g. Fvgn.py:314) rely on the inference."""
 
     def __init__(self, **kwargs):
         for k, v in kwargs.items():
             setattr(self, k, v)
+
+    @property
+    def num_nodes(self):
+        if "_num_nodes" in self.__dict__:
+            return self._num_nodes
+        for attr in ("x", "pos"):
+            v = self.__dict__.get(attr)
+            if v is not None:
+                return int(v.shape[0])
+        raise AttributeError("num_nodes not set and not inferrable")
+
+    @num_nodes.setter
+    def num_nodes(self, value):
+        self._num_nodes = int(value)
 
     def clone(self):
         new = Data()
@@ -235,6 +253,50 @@ def copy_epd_weights(params_epd: dict, ref_model, mp_num: int,
                   True)
     _copy_mlp(params_epd[jax_decoder_key],
               getattr(ref_model.decoder, decoder_attr), False)
+
+
+def _copy_antisym_mlp(jp: dict, torch_mlp):
+    """Copy my AntisymMLP (3 bias-free Dense, tanh) into the reference
+    ``build_mlp_antisym`` Sequential (Conservative.py:31-43: Linear(bias=False)
+    / Tanh / Linear / Tanh / Linear, no norm layer)."""
+    with torch.no_grad():
+        for i, dense in enumerate(["Dense_0", "Dense_1", "Dense_2"]):
+            torch_mlp[2 * i].weight.copy_(
+                _t(np.asarray(jp[dense]["kernel"]).T))
+
+
+def copy_conservative_weights(params: dict, ref_model, mp_num: int):
+    """Transplant my _ConsAModule params into the reference ConservativeA
+    (Conservative.py:49-262: dual symm/asym encoder, face/cell blocks with
+    the asym gate, no-norm face decoder; FvgnA integrator)."""
+    enc = params["_ConsEncoder_0"]
+    _copy_mlp(enc["faceS_mlp"], ref_model.encoder.faceS_mlp, True)
+    _copy_antisym_mlp(enc["faceA_mlp"], ref_model.encoder.faceA_mlp)
+    _copy_mlp(enc["cell_mlp"], ref_model.encoder.cell_mlp, True)
+    for i in range(mp_num):
+        blk = params[f"_ConsABlock_{i}"]
+        ref_blk = ref_model.processer_list[i]
+        _copy_mlp(blk["face_mlp"], ref_blk.face_block.face_mlp, True)
+        _copy_mlp(blk["cell_mlp"], ref_blk.cell_block.cell_mlp, True)
+    _copy_mlp(params["decoder_face"], ref_model.decoder.face_mlp, False)
+
+
+def copy_vertpot_weights(params: dict, ref_model, mp_num: int):
+    """Transplant my _VertPotModule params into the reference VertPotA
+    (VertPot.py:47-231). The reference GN_Block builds UNUSED face_block /
+    cell_block via ``super().__init__`` and runs node_block / edge_block /
+    vertex_block instead (VertPot.py:187-210) — copy into the used pair."""
+    enc = params["Encoder_0"]
+    _copy_mlp(enc["face_mlp"], ref_model.encoder.face_mlp, True)
+    _copy_mlp(enc["cell_mlp"], ref_model.encoder.cell_mlp, True)
+    for i in range(mp_num):
+        ref_blk = ref_model.processer_list[i]
+        _copy_mlp(params[f"CellBlock_{i}"]["MLP_0"],
+                  ref_blk.node_block.cell_mlp, True)
+        _copy_mlp(params[f"FaceBlock_{i}"]["MLP_0"],
+                  ref_blk.edge_block.face_mlp, True)
+    _copy_mlp(params["decoder_face"], ref_model.decoder.edge_mlp, False)
+    _copy_mlp(params["decoder_vertex"], ref_model.decoder.vertex_mlp, False)
 
 
 def copy_scalar_params(params: dict, ref_model, names):

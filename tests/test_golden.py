@@ -6,6 +6,11 @@ normalization, architecture wiring, loss composition) against silent change.
 Regenerate the values intentionally when the numerical contract changes:
 
     python -m pytest tests/test_golden.py --collect-only  # see the recipe
+
+VertPot* values regenerated after the executed-reference parity harness
+(test_parity_reference.py) caught the vertex block aggregating the
+post-residual edge latent; the reference sums the pre-residual edge output
+(VertPot.py:201-208).
 """
 
 import jax
@@ -52,13 +57,13 @@ GOLDEN = {
     "StreamFuncB": 2.499358,
     "StreamFuncC": 2.238754,
     "StreamFuncD": 2.087780,
-    "VertPotA": 3.458634,
-    "VertPotB": 18.463470,
-    "VertPotC": 4.398558,
-    "VertPotD": 3.799285,
-    "VertPotE": 5.595883,
-    "VertPotF": 3.006141,
-    "VertPotG": 3.872996,
+    "VertPotA": 3.458636,
+    "VertPotB": 16.832933,
+    "VertPotC": 3.996113,
+    "VertPotD": 3.557076,
+    "VertPotE": 4.836900,
+    "VertPotF": 2.681307,
+    "VertPotG": 3.585634,
 }
 
 

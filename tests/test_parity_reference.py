@@ -6,10 +6,12 @@ These tests EXECUTE the reference's own model code from ``/root/reference/src``
 from the JAX model, feed both sides the identical unpadded mesh + stats, and
 assert that every loss component matches to float32 tolerance.
 
-Covered: FvgnA (``Fvgn.py:31-333``), FluxD (``Flux.py:459-595``, the shipped
-flagship), MgnA (``Mgn.py:40-275``), and a FluxD rollout-mode step
-(``update_features`` feedback). torch runs on CPU; JAX under the test
-conftest also runs on CPU.
+Covered: one variant per model family — FvgnA (``Fvgn.py:31-333``), FluxD
+(``Flux.py:459-595``, the shipped flagship), MgnA (``Mgn.py:40-275``),
+StreamFuncA (``StreamFunc.py:109-135``), ConservativeA
+(``Conservative.py:49-262``), VertPotA (``VertPot.py:47-231``) — plus a FluxD
+rollout-mode step (``update_features`` feedback) and a 50-step autoregressive
+rollout. torch runs on CPU; JAX under the test conftest also runs on CPU.
 """
 
 import numpy as np
@@ -19,9 +21,10 @@ import jax
 
 torch = pytest.importorskip("torch")
 
-from parity_shims import (copy_batchnorm, copy_epd_weights, install_shims,
-                          make_ref_config, make_ref_dataset, stats_to_python,
-                          to_reference_graphs)
+from parity_shims import (copy_batchnorm, copy_conservative_weights,
+                          copy_epd_weights, copy_vertpot_weights,
+                          install_shims, make_ref_config, make_ref_dataset,
+                          stats_to_python, to_reference_graphs)
 
 install_shims()
 
@@ -305,6 +308,121 @@ def test_streamfunca_one_step_loss_parity():
 
 
 # ---------------------------------------------------------------------------
+# ConservativeA (Conservative.py:49-262) — dual symm/asym encoder, asym gate
+# in the first block, two-way signed cell aggregation, FvgnA integrator/loss.
+# ---------------------------------------------------------------------------
+
+def test_conservativea_one_step_loss_parity():
+    from models.Conservative import ConservativeA as RefConsA
+    loss_weights = {"continuity": 0.1, "cell_velocity_change": 10.0,
+                    "face_velocity": 1.0, "face_pressure": 1.0}
+    ds, model, graph, variables, raw_stats = build_jax_side("ConservativeA",
+                                                            loss_weights)
+
+    tgraph, feats = model.transform_features(graph, None, mode="rollout")
+    outputs, _ = model.forward(variables, tgraph, feats, mode="train")
+    jax_losses = model.loss(outputs, feats, tgraph)
+
+    cfg = make_ref_config(HIDDEN, MP, loss_weights)
+    dataset = make_ref_dataset(RefNodeType, cfg, mode="rollout")
+    ref = RefConsA(cfg, MSE_per_element_torch, dataset,
+                   stats_to_python(raw_stats))
+    copy_conservative_weights(variables["params"], ref, MP)
+    copy_batchnorm(variables["params"]["integrator"]
+                   ["face_area_norm"]["MaskedBatchNorm_0"]["BatchNorm_0"],
+                   ref.integrator.face_area_norm)
+    ref.train()
+
+    graphs = to_reference_graphs(graph)
+    graphs = RefConsA.transform_features(dataset, graphs)
+
+    # feature parity (x / x_symm / x_asym / targets / bc mask)
+    np.testing.assert_allclose(np.asarray(feats["cell_x"]),
+                               graphs[0].x.numpy(), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(feats["face_xs"]),
+                               graphs[1].x_symm.numpy(), rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(feats["face_xa"]),
+                               graphs[1].x_asym.numpy(), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(feats["cell_y"]),
+                               graphs[0].y.numpy(), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(feats["face_y"]),
+                               graphs[1].y.numpy(), rtol=1e-6, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(feats["face_bc_mask"]),
+                                  graphs[1].boundary_mask.numpy())
+
+    with torch.no_grad():
+        ref_out = ref(graphs, mode="train")
+        ref_losses = ref.loss(ref_out, graphs)
+
+    np.testing.assert_allclose(
+        np.asarray(outputs["cell_velocity_change"]),
+        ref_out["cell_velocity_change"].numpy(), rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(outputs["face_velocity"]),
+        ref_out["face_velocity"].numpy(), rtol=2e-4, atol=1e-5)
+    assert_losses_match(jax_losses, ref_losses)
+
+
+# ---------------------------------------------------------------------------
+# VertPotA (VertPot.py:47-231) — vertex-potential cell flux (exactly
+# divergence-free by telescoping), flux-advection integrator with
+# BatchNorm'd dt/V̄ coefficients, no flux loss.
+# ---------------------------------------------------------------------------
+
+def test_vertpota_one_step_loss_parity():
+    from models.VertPot import VertPotA as RefVertPotA
+    loss_weights = {"continuity": 0.1, "cell_velocity_change": 10.0,
+                    "face_velocity": 1.0, "face_pressure": 1.0}
+    ds, model, graph, variables, raw_stats = build_jax_side("VertPotA",
+                                                            loss_weights)
+
+    tgraph, feats = model.transform_features(graph, None, mode="rollout")
+    outputs, _ = model.forward(variables, tgraph, feats, mode="train")
+    jax_losses = model.loss(outputs, feats, tgraph)
+
+    cfg = make_ref_config(HIDDEN, MP, loss_weights)
+    dataset = make_ref_dataset(RefNodeType, cfg, mode="rollout")
+    ref = RefVertPotA(cfg, MSE_per_element_torch, dataset,
+                      stats_to_python(raw_stats))
+    copy_vertpot_weights(variables["params"], ref, MP)
+    copy_batchnorm(variables["params"]
+                   ["face_area_norm"]["MaskedBatchNorm_0"]["BatchNorm_0"],
+                   ref.integrator.face_area_norm)
+    copy_batchnorm(variables["params"]
+                   ["vol_dt_norm"]["MaskedBatchNorm_0"]["BatchNorm_0"],
+                   ref.integrator.vol_dt_norm)
+    ref.train()
+
+    graphs = to_reference_graphs(graph)
+    graphs = RefVertPotA.transform_features(dataset, graphs)
+
+    np.testing.assert_allclose(np.asarray(feats["face_x"]),
+                               graphs[1].x.numpy(), rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(feats["face_y"]),
+                               graphs[1].y.numpy(), rtol=1e-6, atol=1e-7)
+
+    with torch.no_grad():
+        ref_out = ref(graphs, mode="train")
+        ref_losses = ref.loss(ref_out, graphs)
+
+    # exact divergence-free potential flux on both sides
+    assert float(torch.abs(ref_out["cell_flux"].sum(dim=1)).max()) < 1e-5
+    assert float(jnp_abs_max_rowsum(outputs["cell_flux"])) < 1e-5
+
+    for key in ("cell_velocity_change", "cell_flux", "face_velocity",
+                "face_pressure"):
+        np.testing.assert_allclose(np.asarray(outputs[key]),
+                                   ref_out[key].numpy(), rtol=5e-4,
+                                   atol=1e-5, err_msg=key)
+    assert_losses_match(jax_losses, ref_losses)
+
+
+def jnp_abs_max_rowsum(x):
+    arr = np.asarray(x)
+    return np.abs(arr.sum(axis=1)).max()
+
+
+# ---------------------------------------------------------------------------
 # 50-step autoregressive rollout parity (stretch goal): my lax.scan rollout
 # engine vs the reference's step loop (rollout.py:304-369 semantics: forward
 # in rollout mode -> derive cell_velocity/cell_pressure -> update_features).
@@ -382,3 +500,7 @@ if __name__ == "__main__":
     print("FluxD rollout parity OK")
     test_mgna_one_step_loss_parity()
     print("MgnA parity OK")
+    test_conservativea_one_step_loss_parity()
+    print("ConservativeA parity OK")
+    test_vertpota_one_step_loss_parity()
+    print("VertPotA parity OK")
