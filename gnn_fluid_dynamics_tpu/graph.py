@@ -108,6 +108,16 @@ class MeshGraph:
     # face -> (cell, local slot) selector (integrator gathers)
     fc3_onehot: jax.Array = None            # (T3, 128, Bfc)
     fc3_off: jax.Array = None               # (T3,)
+    # index-built selector vectors (rollout Pallas backend): the 0/1 tables
+    # above rebuilt on-chip from ~KB of indices (ops/pallas_agg.py *_idx
+    # kernels); derived host-side in to_static_bands
+    es_tgt: jax.Array = None                # (Tv, 1, Bes) int32, -1 dead col
+    er_tgt: jax.Array = None                # (Tv, 1, Bes)
+    cf_row_idx: jax.Array = None            # (Tf, 128, 1) int32, -1 none
+    cf_col_idx: jax.Array = None            # (Tf, 128, 1)
+    vc_idx0: jax.Array = None               # (Tc, 128, 1) int32 per-vertex
+    vc_idx1: jax.Array = None
+    vc_idx2: jax.Array = None
     # static per-graph band specs: one (Tp, Sp[, offsets]) entry per graph in
     # the batch; offsets embedded => static-slice fast path (rollout)
     hv_start: tuple = struct.field(pytree_node=False, default=None)
@@ -362,29 +372,65 @@ def to_static_bands(graph: MeshGraph) -> MeshGraph:
     read) — call once before a rollout so band slices compile to constant
     DMA copies; leave training graphs dynamic so the jaxpr is independent of
     the batch's mesh combination."""
-    if graph.hv_start is None or all(len(s) > 2 for s in graph.hv_start):
+    if graph.hv_start is None:
         return graph
     import numpy as np
 
-    def bake(specs, off):
-        off = np.asarray(off)
-        out, to = [], 0
-        for spec in specs:
-            Tp = spec[0]
-            o = spec[2] if len(spec) > 2 else tuple(
-                int(x) for x in off[to: to + Tp])
-            out.append((spec[0], spec[1], o))
-            to += Tp
-        return tuple(out)
+    kw = {}
+    if not all(len(s) > 2 for s in graph.hv_start):
+        def bake(specs, off):
+            off = np.asarray(off)
+            out, to = [], 0
+            for spec in specs:
+                Tp = spec[0]
+                o = spec[2] if len(spec) > 2 else tuple(
+                    int(x) for x in off[to: to + Tp])
+                out.append((spec[0], spec[1], o))
+                to += Tp
+            return tuple(out)
 
-    kw = dict(hv_start=bake(graph.hv_start, graph.hv_off),
-              vc_start=bake(graph.vc_start, graph.vc_off),
-              cf_start=bake(graph.cf_start, graph.cf_off))
-    if graph.es_start is not None:
-        kw["es_start"] = bake(graph.es_start, graph.es_off)
-    if graph.fc3_start is not None:
-        kw["fc3_start"] = bake(graph.fc3_start, graph.fc3_off)
-    return graph.replace(**kw)
+        kw.update(hv_start=bake(graph.hv_start, graph.hv_off),
+                  vc_start=bake(graph.vc_start, graph.vc_off),
+                  cf_start=bake(graph.cf_start, graph.cf_off))
+        if graph.es_start is not None:
+            kw["es_start"] = bake(graph.es_start, graph.es_off)
+        if graph.fc3_start is not None:
+            kw["fc3_start"] = bake(graph.fc3_start, graph.fc3_off)
+
+    # derive index-built selector vectors for the Pallas rollout backend
+    # (valid because every table weight is exactly 1; vc's 1/3 vertex mean
+    # is a kernel epilogue)
+    def _col_targets(oh):
+        oh = np.asarray(oh, np.float32)
+        nz = oh.sum(axis=1) > 0
+        return np.where(nz, oh.argmax(axis=1),
+                        -1).astype(np.int32)[:, None, :]
+
+    def _row_index(oh):
+        oh = np.asarray(oh, np.float32)
+        nz = oh.sum(axis=2) > 0
+        return np.where(nz, oh.argmax(axis=2),
+                        -1).astype(np.int32)[..., None]
+
+    def _row_index3(oh):
+        oh = np.asarray(oh, np.float32)
+        order = np.argsort(-oh, axis=2, kind="stable")[:, :, :3]
+        vals = np.take_along_axis(oh, order, axis=2)
+        idx = np.where(vals > 0, order, -1).astype(np.int32)
+        return idx[:, :, 0:1], idx[:, :, 1:2], idx[:, :, 2:3]
+
+    if graph.es_onehot is not None and graph.es_tgt is None:
+        kw["es_tgt"] = jnp.asarray(_col_targets(graph.es_onehot))
+        kw["er_tgt"] = jnp.asarray(_col_targets(graph.er_onehot))
+    if graph.cf_row_onehot is not None and graph.cf_row_idx is None:
+        kw["cf_row_idx"] = jnp.asarray(_row_index(graph.cf_row_onehot))
+        kw["cf_col_idx"] = jnp.asarray(_row_index(graph.cf_col_onehot))
+    if graph.vc_onehot is not None and graph.vc_idx0 is None:
+        i0, i1, i2 = _row_index3(graph.vc_onehot)
+        kw["vc_idx0"] = jnp.asarray(i0)
+        kw["vc_idx1"] = jnp.asarray(i1)
+        kw["vc_idx2"] = jnp.asarray(i2)
+    return graph.replace(**kw) if kw else graph
 
 
 def batch_graphs(graphs) -> MeshGraph:

@@ -43,6 +43,7 @@ Rollout-only (no custom VJP): training uses the XLA dynamic-offset path.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -53,6 +54,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _interpret() -> bool:
     return jax.default_backend() != "tpu"
+
+
+def _force_dense() -> bool:
+    """GFD_PALLAS_DENSE=1 forces the dense-table kernels even when the
+    index vectors are present (perf comparison escape hatch)."""
+    return bool(os.environ.get("GFD_PALLAS_DENSE"))
 
 
 def _dual_kernel(off_ref, oh_a_ref, oh_b_ref, src_hbm, *outs_and_scratch,
@@ -134,6 +141,222 @@ def banded_dual_pallas(oh_a: jax.Array, oh_b: jax.Array, off: jax.Array,
     return outs[0] if combine_roll else outs
 
 
+def _dual_colidx_kernel(off_ref, tgt_a_ref, tgt_b_ref, src_hbm,
+                        *outs_and_scratch, combine_roll: int):
+    """Like :func:`_dual_kernel`, but the one-hot is REBUILT ON-CHIP from a
+    per-column target-row vector (int32, -1 = dead column) instead of being
+    streamed from HBM — every table here is a 0/1 selector, so ~1.5 KB of
+    indices per tile replace ~B*tile bytes of table traffic. Valid for
+    tables with at most one nonzero per column (es/er: each edge has exactly
+    one sender and one receiver)."""
+    if combine_roll:
+        out_a, band2, sem2 = outs_and_scratch
+    else:
+        out_a, out_b, band2, sem2 = outs_and_scratch
+    B = band2.shape[1]
+    tile = out_a.shape[0]
+    t = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def dma_for(i, slot):
+        off = pl.multiple_of(off_ref[i], 8)
+        return pltpu.make_async_copy(
+            src_hbm.at[pl.ds(off, B), :], band2.at[slot], sem2.at[slot])
+
+    @pl.when(t == 0)
+    def _():
+        dma_for(0, 0).start()
+
+    @pl.when(t + 1 < n)
+    def _():
+        dma_for(t + 1, (t + 1) % 2).start()
+
+    dma_for(t, t % 2).wait()
+    band = band2[t % 2]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile, B), 0)
+    dn = (((1,), (0,)), ((), ()))
+    a = (tgt_a_ref[0] == rows).astype(band.dtype)        # (1,B) vs (tile,B)
+    b = (tgt_b_ref[0] == rows).astype(band.dtype)
+    ra = jax.lax.dot_general(a, band, dimension_numbers=dn,
+                             preferred_element_type=jnp.float32)
+    rb = jax.lax.dot_general(b, band, dimension_numbers=dn,
+                             preferred_element_type=jnp.float32)
+    if combine_roll:
+        out_a[:] = (ra + pltpu.roll(rb, combine_roll, 1)).astype(out_a.dtype)
+    else:
+        out_a[:] = ra.astype(out_a.dtype)
+        out_b[:] = rb.astype(out_b.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("combine_roll",))
+def banded_dual_colidx_pallas(tgt_a: jax.Array, tgt_b: jax.Array,
+                              off: jax.Array, src: jax.Array,
+                              combine_roll: int = 0):
+    """Index-built variant of :func:`banded_dual_pallas`.
+
+    tgt_* : (T, 1, B) int32 — local target row of each band column, -1 dead;
+    off : (T,) int32; src : (S, H). Returns (T*128, H) bf16 array(s).
+    """
+    T, _, B = tgt_a.shape
+    tile = 128
+    H = src.shape[1]
+    n_out = 1 if combine_roll else 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, 1, B), lambda t, off: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, B), lambda t, off: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec((tile, H), lambda t, off: (t, 0),
+                                memory_space=pltpu.VMEM)] * n_out,
+        scratch_shapes=[pltpu.VMEM((2, B, H), src.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_dual_colidx_kernel, combine_roll=combine_roll),
+        out_shape=[jax.ShapeDtypeStruct((T * tile, H), src.dtype)] * n_out,
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(off, tgt_a, tgt_b, src)
+    return outs[0] if combine_roll else outs
+
+
+def _dual_rowidx_kernel(off_ref, idx_a_ref, idx_b_ref, src_hbm, out_a, out_b,
+                        band2, sem2):
+    """Gather formulation: one nonzero per TARGET row (cf owner/neighbour
+    lookups). idx refs hold the local band column per target row (-1 none);
+    the (tile, B) one-hot is an iota compare, never touching HBM."""
+    B = band2.shape[1]
+    tile = out_a.shape[0]
+    t = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def dma_for(i, slot):
+        off = pl.multiple_of(off_ref[i], 8)
+        return pltpu.make_async_copy(
+            src_hbm.at[pl.ds(off, B), :], band2.at[slot], sem2.at[slot])
+
+    @pl.when(t == 0)
+    def _():
+        dma_for(0, 0).start()
+
+    @pl.when(t + 1 < n)
+    def _():
+        dma_for(t + 1, (t + 1) % 2).start()
+
+    dma_for(t, t % 2).wait()
+    band = band2[t % 2]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tile, B), 1)
+    dn = (((1,), (0,)), ((), ()))
+    a = (idx_a_ref[0] == cols).astype(band.dtype)        # (tile,1) vs cols
+    b = (idx_b_ref[0] == cols).astype(band.dtype)
+    out_a[:] = jax.lax.dot_general(
+        a, band, dimension_numbers=dn,
+        preferred_element_type=jnp.float32).astype(out_a.dtype)
+    out_b[:] = jax.lax.dot_general(
+        b, band, dimension_numbers=dn,
+        preferred_element_type=jnp.float32).astype(out_b.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def banded_dual_rowidx_pallas(idx_a: jax.Array, idx_b: jax.Array,
+                              off: jax.Array, src: jax.Array, band: int):
+    """Index-built dual gather: idx_* (T, tile, 1) int32 local band column
+    per target row; one shared band DMA; returns two (T*tile, H) arrays."""
+    T, tile, _ = idx_a.shape
+    H = src.shape[1]
+    B = band
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, tile, 1), lambda t, off: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda t, off: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec((tile, H), lambda t, off: (t, 0),
+                                memory_space=pltpu.VMEM)] * 2,
+        scratch_shapes=[pltpu.VMEM((2, B, H), src.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )
+    return pl.pallas_call(
+        _dual_rowidx_kernel,
+        out_shape=[jax.ShapeDtypeStruct((T * tile, H), src.dtype)] * 2,
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(off, idx_a, idx_b, src)
+
+
+def _rowidx3_kernel(off_ref, i0_ref, i1_ref, i2_ref, src_hbm, out,
+                    band2, sem2):
+    """Three-gather sum (vc: each cell averages its 3 distinct vertices)."""
+    B = band2.shape[1]
+    tile = out.shape[0]
+    t = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def dma_for(i, slot):
+        off = pl.multiple_of(off_ref[i], 8)
+        return pltpu.make_async_copy(
+            src_hbm.at[pl.ds(off, B), :], band2.at[slot], sem2.at[slot])
+
+    @pl.when(t == 0)
+    def _():
+        dma_for(0, 0).start()
+
+    @pl.when(t + 1 < n)
+    def _():
+        dma_for(t + 1, (t + 1) % 2).start()
+
+    dma_for(t, t % 2).wait()
+    band = band2[t % 2]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tile, B), 1)
+    mask = ((i0_ref[0] == cols).astype(band.dtype)
+            + (i1_ref[0] == cols).astype(band.dtype)
+            + (i2_ref[0] == cols).astype(band.dtype))
+    out[:] = jax.lax.dot_general(
+        mask, band, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(out.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("band",))
+def banded_rowidx3_pallas(i0: jax.Array, i1: jax.Array, i2: jax.Array,
+                          off: jax.Array, src: jax.Array, band: int):
+    """Index-built 3-source sum: i* (T, tile, 1) int32; -> (T*tile, H)."""
+    T, tile, _ = i0.shape
+    H = src.shape[1]
+    B = band
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, tile, 1), lambda t, off: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda t, off: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda t, off: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((tile, H), lambda t, off: (t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2, B, H), src.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )
+    return pl.pallas_call(
+        _rowidx3_kernel,
+        out_shape=jax.ShapeDtypeStruct((T * tile, H), src.dtype),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(off, i0, i1, i2, src)
+
+
 def _single_kernel(off_ref, oh_ref, src_hbm, out, band2, sem2):
     B = band2.shape[1]
     t = pl.program_id(0)
@@ -199,16 +422,22 @@ def aggregate_edges_to_vertices_pallas(edge_attr: jax.Array, graph):
     returns ``send_result + roll(recv_result, 64)`` so lanes 0:64 hold the
     vertex sum. Replaces the XLA path's (2F, H/2) reshape, which would put
     sub-128-lane operands into the kernel (unsupported DMA alignment)."""
+    use_idx = graph.es_tgt is not None and not _force_dense()
     outs = []
     to = so = 0
     for spec in graph.es_start:
         Tp, Sp = spec[0], spec[1]
-        oh_s = graph.es_onehot[to: to + Tp]
-        oh_r = graph.er_onehot[to: to + Tp]
         off = graph.es_off[to: to + Tp]
-        outs.append(banded_dual_pallas(
-            oh_s, oh_r, off, edge_attr[so: so + Sp].astype(jnp.bfloat16),
-            combine_roll=edge_attr.shape[1] // 2))
+        src = edge_attr[so: so + Sp].astype(jnp.bfloat16)
+        roll = edge_attr.shape[1] // 2
+        if use_idx:
+            outs.append(banded_dual_colidx_pallas(
+                graph.es_tgt[to: to + Tp], graph.er_tgt[to: to + Tp],
+                off, src, combine_roll=roll))
+        else:
+            outs.append(banded_dual_pallas(
+                graph.es_onehot[to: to + Tp], graph.er_onehot[to: to + Tp],
+                off, src, combine_roll=roll))
         to += Tp
         so += Sp
     return jnp.concatenate(outs) if len(outs) > 1 else outs[0]
@@ -218,13 +447,21 @@ def aggregate_vertices_to_cells_pallas(vtx128: jax.Array, graph):
     """vc mean on a (V, H) vertex latent whose payload is in lanes 0:H/2;
     returns (C, H/2) f32 like the XLA path. The shared vc table stores
     weight 1; the 1/3 vertex mean is a scalar epilogue."""
+    use_idx = graph.vc_idx0 is not None and not _force_dense()
+    B = graph.vc_onehot.shape[2]
     outs = []
     to = so = 0
     for spec in graph.vc_start:
         Tp, Sp = spec[0], spec[1]
-        oh = graph.vc_onehot[to: to + Tp]
         off = graph.vc_off[to: to + Tp]
-        outs.append(banded_single_pallas(oh, off, vtx128[so: so + Sp]))
+        if use_idx:
+            outs.append(banded_rowidx3_pallas(
+                graph.vc_idx0[to: to + Tp], graph.vc_idx1[to: to + Tp],
+                graph.vc_idx2[to: to + Tp], off, vtx128[so: so + Sp],
+                band=B))
+        else:
+            outs.append(banded_single_pallas(
+                graph.vc_onehot[to: to + Tp], off, vtx128[so: so + Sp]))
         to += Tp
         so += Sp
     out = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
@@ -234,15 +471,22 @@ def aggregate_vertices_to_cells_pallas(vtx128: jax.Array, graph):
 
 def gather_face_cells_pallas(cell_attr: jax.Array, graph):
     """(x[owner], x[neighbour]) per face via the shared cf band."""
+    use_idx = graph.cf_row_idx is not None and not _force_dense()
+    B = graph.cf_row_onehot.shape[2]
     rows, cols = [], []
     to = so = 0
     for spec in graph.cf_start:
         Tp, Sp = spec[0], spec[1]
         off = graph.cf_off[to: to + Tp]
-        a, b = banded_dual_pallas(
-            graph.cf_row_onehot[to: to + Tp],
-            graph.cf_col_onehot[to: to + Tp], off,
-            cell_attr[so: so + Sp].astype(jnp.bfloat16))
+        src = cell_attr[so: so + Sp].astype(jnp.bfloat16)
+        if use_idx:
+            a, b = banded_dual_rowidx_pallas(
+                graph.cf_row_idx[to: to + Tp],
+                graph.cf_col_idx[to: to + Tp], off, src, band=B)
+        else:
+            a, b = banded_dual_pallas(
+                graph.cf_row_onehot[to: to + Tp],
+                graph.cf_col_onehot[to: to + Tp], off, src)
         rows.append(a)
         cols.append(b)
         to += Tp

@@ -83,6 +83,11 @@ def analytic_floor(n_points: int, hidden: int, mp_num: int,
     cfc = table_bytes(np.asarray(g.cf_col_onehot), table_dtype_bytes, H,
                       act_bytes)
     agg_bytes = sum(hv) + sum(vc) + sum(cfr) + sum(cfc)
+    # index-built Pallas kernels: table storage never leaves HBM (the one-hot
+    # is rebuilt on-chip from ~KB of indices); the shared-band dual kernels
+    # also read the cf band once for owner+neighbour
+    agg_bytes_idx = (hv[1] + hv[2]) + (vc[1] + vc[2]) + \
+        (cfr[1] + cfr[2] + cfc[2])
 
     # --- per-block MLP activation traffic: face mlp reads (F,3H) writes
     # (F,H); cell mlp reads (C,1.5H) writes (C,H); residuals read+write
@@ -109,9 +114,12 @@ def analytic_floor(n_points: int, hidden: int, mp_num: int,
     total_flops = mp_num * (mlp_flops + agg_flops) + 2 * (F * 2 * H * H
                                                           + C * 2 * H * H)
 
+    total_bytes_idx = mp_num * (agg_bytes_idx + mlp_bytes) + fixed
+
     t_mem = total_bytes / HBM_GBPS
     t_mxu = total_flops / BF16_FLOPS
     floor_s = max(t_mem, t_mxu)
+    floor_idx_s = max(total_bytes_idx / HBM_GBPS, t_mxu)
     out = {
         "cells": C, "faces": F, "vertices": V, "hidden": H, "mp_num": mp_num,
         "bytes_per_step": int(total_bytes),
@@ -119,6 +127,8 @@ def analytic_floor(n_points: int, hidden: int, mp_num: int,
         "t_mem_ms": round(t_mem * 1e3, 3),
         "t_mxu_ms": round(t_mxu * 1e3, 3),
         "floor_steps_per_sec": round(1.0 / floor_s, 1),
+        "floor_steps_per_sec_idx": round(1.0 / floor_idx_s, 1),
+        "bytes_per_step_idx": int(total_bytes_idx),
         "bound": "memory" if t_mem >= t_mxu else "mxu",
         "table_shapes": {
             "hv": list(g.hv_onehot.shape),
@@ -141,18 +151,26 @@ def sweep(n_points: int, hidden: int, mp_num: int, steps: int,
           repeats: int) -> list:
     import bench
     rows = []
-    for aggregation, bdt in (("pallas", "int8"), ("banded", "bfloat16"),
-                             ("banded", "int8")):
+    for label, aggregation, bdt, dense in (
+            ("pallas-idx", "pallas", "int8", False),
+            ("pallas-dense", "pallas", "int8", True),
+            ("banded-bf16", "banded", "bfloat16", False),
+            ("banded-int8", "banded", "int8", False)):
         try:
+            if dense:
+                os.environ["GFD_PALLAS_DENSE"] = "1"
             r = bench.run_rollout_bench("FluxD", hidden, mp_num, steps,
                                         n_points, aggregation, "bfloat16",
                                         bdt, repeats)
             r["banded_dtype"] = bdt
+            r["variant"] = label
             rows.append(r)
-            print(json.dumps(r))
+            print(json.dumps(r), flush=True)
         except Exception as e:     # keep sweeping past a failing backend
-            print(json.dumps({"aggregation": aggregation,
-                              "banded_dtype": bdt, "error": repr(e)}))
+            print(json.dumps({"variant": label, "error": repr(e)}),
+                  flush=True)
+        finally:
+            os.environ.pop("GFD_PALLAS_DENSE", None)
     return rows
 
 

@@ -327,6 +327,89 @@ def test_pallas_aggregation_equivalence():
         rtol=5e-2, atol=5e-3)
 
 
+def test_pallas_index_built_aggregation_equivalence():
+    """to_static_bands derives per-tile index vectors; the index-built Pallas
+    kernels (one-hot rebuilt on-chip via iota compares, ops/pallas_agg.py)
+    must match the dense-table Pallas path."""
+    from gnn_fluid_dynamics_tpu.graph import to_static_bands
+    from gnn_fluid_dynamics_tpu.ops.reorder import rcm_reorder_geometry
+    geom = rcm_reorder_geometry(make_geometry("structured", nx=8, ny=6))
+    fields = taylor_green_trajectory(geom, num_timesteps=3, dt=0.01)
+    g = from_geometry(geom, fields, dt=0.01, pad_multiple=128,
+                      with_banded=True)
+    gs = to_static_bands(g)
+    assert gs.es_tgt is not None and gs.cf_row_idx is not None \
+        and gs.vc_idx0 is not None
+
+    model_pal = make_model("FvgnA", g, aggregation="pallas")
+    _, feats = model_pal.transform_features(g, None, mode="rollout")
+    variables = model_pal.init(jax.random.PRNGKey(1), g, feats)
+    o_dense, _ = model_pal.forward(variables, g, feats, mode="rollout")
+    o_idx, _ = model_pal.forward(variables, gs, feats, mode="rollout")
+    C = int(np.asarray(g.cell_mask).sum())
+    np.testing.assert_allclose(
+        np.asarray(o_idx["cell_velocity_change"][:C]),
+        np.asarray(o_dense["cell_velocity_change"][:C]),
+        rtol=1e-5, atol=1e-6)
+
+
+def test_pallas_index_kernels_match_dense():
+    """Kernel-level: colidx / rowidx / rowidx3 variants reproduce the dense
+    one-hot kernels on random selector tables."""
+    import jax.numpy as jnp
+    from gnn_fluid_dynamics_tpu.ops import pallas_agg as pa
+    rng = np.random.default_rng(3)
+    T, tile, B, H = 2, 128, 256, 128
+    S = 512
+    off = jnp.asarray(np.array([0, 256], np.int32))
+    src = jnp.asarray(rng.normal(size=(S, H)), jnp.bfloat16)
+
+    # per-row gathers (cf-style): one nonzero per row
+    idx = rng.integers(-1, B, size=(T, tile, 1)).astype(np.int32)
+    oh = np.zeros((T, tile, B), np.float32)
+    for t in range(T):
+        for i in range(tile):
+            if idx[t, i, 0] >= 0:
+                oh[t, i, idx[t, i, 0]] = 1.0
+    a_d, b_d = pa.banded_dual_pallas(jnp.asarray(oh, jnp.bfloat16),
+                                     jnp.asarray(oh, jnp.bfloat16), off, src)
+    a_i, b_i = pa.banded_dual_rowidx_pallas(jnp.asarray(idx), jnp.asarray(idx),
+                                            off, src, band=B)
+    np.testing.assert_array_equal(np.asarray(a_d, np.float32),
+                                  np.asarray(a_i, np.float32))
+    np.testing.assert_array_equal(np.asarray(b_d, np.float32),
+                                  np.asarray(b_i, np.float32))
+
+    # per-column scatter (es-style): one nonzero per column
+    tgt = rng.integers(-1, tile, size=(T, 1, B)).astype(np.int32)
+    oh2 = np.zeros((T, tile, B), np.float32)
+    for t in range(T):
+        for j in range(B):
+            if tgt[t, 0, j] >= 0:
+                oh2[t, tgt[t, 0, j], j] = 1.0
+    c_d, _ = pa.banded_dual_pallas(jnp.asarray(oh2, jnp.bfloat16),
+                                   jnp.asarray(oh2, jnp.bfloat16), off, src)
+    c_i, _ = pa.banded_dual_colidx_pallas(jnp.asarray(tgt), jnp.asarray(tgt),
+                                          off, src)
+    np.testing.assert_array_equal(np.asarray(c_d, np.float32),
+                                  np.asarray(c_i, np.float32))
+
+    # 3-gather sum (vc-style)
+    i3 = rng.integers(-1, B, size=(3, T, tile, 1)).astype(np.int32)
+    oh3 = np.zeros((T, tile, B), np.float32)
+    for k in range(3):
+        for t in range(T):
+            for i in range(tile):
+                if i3[k, t, i, 0] >= 0:
+                    oh3[t, i, i3[k, t, i, 0]] += 1.0
+    d_d = pa.banded_single_pallas(jnp.asarray(oh3, jnp.bfloat16), off, src)
+    d_i = pa.banded_rowidx3_pallas(jnp.asarray(i3[0]), jnp.asarray(i3[1]),
+                                   jnp.asarray(i3[2]), off, src, band=B)
+    np.testing.assert_allclose(np.asarray(d_d, np.float32),
+                               np.asarray(d_i, np.float32),
+                               rtol=1e-2, atol=1e-2)
+
+
 def test_fluxd_scale_init_config():
     """model.scale_init: None keeps the reference constants
     (Flux.py:465-469), "stats" uses per-channel target stds, an explicit
