@@ -367,11 +367,13 @@ def banded_tables_for(geom: Dict[str, np.ndarray], pad_to: Dict[str, int]):
     return build_banded_tables(padded_geom)
 
 
-def to_static_bands(graph: MeshGraph) -> MeshGraph:
+def to_static_bands(graph: MeshGraph, derive_idx: bool = True) -> MeshGraph:
     """Bake the banded offsets into the static specs (host-side, one device
     read) — call once before a rollout so band slices compile to constant
     DMA copies; leave training graphs dynamic so the jaxpr is independent of
-    the batch's mesh combination."""
+    the batch's mesh combination. ``derive_idx=False`` skips the Pallas
+    index-vector derivation (pointless host work when the consumer runs the
+    XLA banded backend, e.g. the trainer's validation loop)."""
     if graph.hv_start is None:
         return graph
     import numpy as np
@@ -419,6 +421,8 @@ def to_static_bands(graph: MeshGraph) -> MeshGraph:
         idx = np.where(vals > 0, order, -1).astype(np.int32)
         return idx[:, :, 0:1], idx[:, :, 1:2], idx[:, :, 2:3]
 
+    if not derive_idx:
+        return graph.replace(**kw) if kw else graph
     if graph.es_onehot is not None and graph.es_tgt is None:
         kw["es_tgt"] = jnp.asarray(_col_targets(graph.es_onehot))
         kw["er_tgt"] = jnp.asarray(_col_targets(graph.er_onehot))

@@ -491,7 +491,8 @@ class Trainer:
             from gnn_fluid_dynamics_tpu.graph import to_static_bands
             # bake band offsets static: one fixed mesh set -> one compile,
             # and the rollout scan gets the fast constant-offset slice path
-            graph = to_static_bands(valid_dataset.get_batch(samples))
+            graph = to_static_bands(valid_dataset.get_batch(samples),
+                                  derive_idx=False)
             _, feats = self.model.transform_rollout(graph)
             gt_v, gt_p = valid_dataset.trajectory_targets(
                 [m for m, _ in samples], samples[0][1], num_steps)
