@@ -55,24 +55,45 @@ class MLP(nn.Module):
     dtype: Optional[jnp.dtype] = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, raw: bool = False):
         dt = self.dtype or jnp.float32
+        d0 = nn.Dense(self.hidden, dtype=dt, name="Dense_0")
+        d1 = nn.Dense(self.hidden, dtype=dt, name="Dense_1")
+        d2 = nn.Dense(self.out_size, dtype=dt, name="Dense_2")
+        # epsilon matches torch.nn.LayerNorm (1e-5): the reference's
+        # build_mlp (Model.py:12-40) uses the torch default, and the eps
+        # gap vs flax's 1e-6 is measurable (~0.2% outputs) on
+        # low-variance latents — required for one-step loss parity.
+        ln = (nn.LayerNorm(dtype=dt, epsilon=1e-5, name="LayerNorm_0")
+              if self.layer_norm else None)
+        if raw:
+            # materialize the params without real compute (zero-row pass,
+            # DCE'd by XLA) and hand them to a fused Pallas kernel
+            z = d2(nn.silu(d1(nn.silu(d0(x[:0])))))
+            if ln is not None:
+                ln(z)
+            pr = {"w0": d0.variables["params"]["kernel"],
+                  "b0": d0.variables["params"]["bias"],
+                  "w1": d1.variables["params"]["kernel"],
+                  "b1": d1.variables["params"]["bias"],
+                  "w2": d2.variables["params"]["kernel"],
+                  "b2": d2.variables["params"]["bias"]}
+            if ln is not None:
+                pr["ln_scale"] = ln.variables["params"]["scale"]
+                pr["ln_bias"] = ln.variables["params"]["bias"]
+            return pr
         x = x.astype(dt)
-        x = nn.Dense(self.hidden, dtype=dt)(x)
+        x = d0(x)
         x = nn.silu(x)
         if self.dropout_rate > 0:
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = nn.Dense(self.hidden, dtype=dt)(x)
+        x = d1(x)
         x = nn.silu(x)
         if self.dropout_rate > 0:
             x = nn.Dropout(self.dropout_rate, deterministic=not train)(x)
-        x = nn.Dense(self.out_size, dtype=dt)(x)
-        if self.layer_norm:
-            # epsilon matches torch.nn.LayerNorm (1e-5): the reference's
-            # build_mlp (Model.py:12-40) uses the torch default, and the eps
-            # gap vs flax's 1e-6 is measurable (~0.2% outputs) on
-            # low-variance latents — required for one-step loss parity.
-            x = nn.LayerNorm(dtype=dt, epsilon=1e-5)(x)
+        x = d2(x)
+        if ln is not None:
+            x = ln(x)
         return x.astype(jnp.float32)
 
 
@@ -212,6 +233,20 @@ def gather_face_cells(cell_attr: jax.Array, graph: MeshGraph,
     return cell_attr[row], cell_attr[col]
 
 
+def _fused_block_ok(cfg: ArchConfig, graph: MeshGraph, extra,
+                    train: bool) -> bool:
+    """Fused Pallas GN-block path (gather+MLP+LN+residual in one kernel,
+    ops/pallas_agg.py): rollout-only, plain blocks (no step-scalar extra),
+    index vectors present. GFD_PALLAS_UNFUSED=1 disables for A/B."""
+    import os
+    if train or extra is not None or os.environ.get("GFD_PALLAS_UNFUSED"):
+        return False
+    if _resolve_aggregation(cfg.aggregation, graph, train) != "pallas":
+        return False
+    return graph.cf_row_idx is not None and graph.vc_idx0 is not None \
+        and graph.es_tgt is not None
+
+
 class CellBlock(nn.Module):
     """Edge->vertex->cell aggregation + cell MLP (reference ``Cell_Block``,
     Fvgn.py:298-325)."""
@@ -219,16 +254,26 @@ class CellBlock(nn.Module):
 
     @nn.compact
     def __call__(self, cell_attr, edge_attr, graph: MeshGraph,
-                 extra=None, train: bool = False):
+                 extra=None, train: bool = False, fused_dual: bool = False):
+        mlp = MLP(self.cfg.hidden, self.cfg.hidden,
+                  dropout_rate=self.cfg.dropout_rate, dtype=self.cfg.dtype,
+                  name="MLP_0")
+        if _fused_block_ok(self.cfg, graph, extra, train):
+            from gnn_fluid_dynamics_tpu.ops.pallas_agg import (
+                fused_cell_block_pallas)
+            H = self.cfg.hidden
+            p = mlp(jnp.zeros((0, H + H // 2)), train, raw=True)
+            return fused_cell_block_pallas(
+                cell_attr.astype(jnp.bfloat16),
+                edge_attr.astype(jnp.bfloat16), graph, p,
+                dual_out=fused_dual)
         cell_agg = aggregate_twice_mp(edge_attr, graph, self.cfg.aggregation,
                                       train)
         parts = [cell_attr, cell_agg]
         if extra is not None:
             parts.append(jnp.broadcast_to(extra, (cell_attr.shape[0], extra.shape[-1])))
         collected = jnp.concatenate(parts, axis=-1)
-        return MLP(self.cfg.hidden, self.cfg.hidden,
-                   dropout_rate=self.cfg.dropout_rate,
-                   dtype=self.cfg.dtype)(collected, train)
+        return mlp(collected, train)
 
 
 class FaceBlock(nn.Module):
@@ -238,16 +283,25 @@ class FaceBlock(nn.Module):
 
     @nn.compact
     def __call__(self, cell_attr, edge_attr, graph: MeshGraph,
-                 extra=None, train: bool = False):
+                 extra=None, train: bool = False, fused_dual: bool = False):
+        mlp = MLP(self.cfg.hidden, self.cfg.hidden,
+                  dropout_rate=self.cfg.dropout_rate, dtype=self.cfg.dtype,
+                  name="MLP_0")
+        if _fused_block_ok(self.cfg, graph, extra, train):
+            from gnn_fluid_dynamics_tpu.ops.pallas_agg import (
+                fused_face_block_pallas)
+            p = mlp(jnp.zeros((0, 3 * self.cfg.hidden)), train, raw=True)
+            return fused_face_block_pallas(
+                cell_attr.astype(jnp.bfloat16),
+                edge_attr.astype(jnp.bfloat16), graph, p,
+                dual_out=fused_dual)
         x_row, x_col = gather_face_cells(cell_attr, graph,
                                          self.cfg.aggregation, train)
         parts = [edge_attr, x_row, x_col]
         if extra is not None:
             parts.append(jnp.broadcast_to(extra, (edge_attr.shape[0], extra.shape[-1])))
         agg = jnp.concatenate(parts, axis=-1)
-        return MLP(self.cfg.hidden, self.cfg.hidden,
-                   dropout_rate=self.cfg.dropout_rate,
-                   dtype=self.cfg.dtype)(agg, train)
+        return mlp(agg, train)
 
 
 class GNBlock(nn.Module):
@@ -258,6 +312,22 @@ class GNBlock(nn.Module):
     @nn.compact
     def __call__(self, cell_attr, edge_attr, graph: MeshGraph,
                  extra=None, train: bool = False):
+        if _fused_block_ok(self.cfg, graph, extra, train):
+            # fused kernels: residual applied in-register; the SECOND block
+            # consumes the FIRST block's RAW (un-residualed) output, matching
+            # the reference GN_Block dataflow (Fvgn.py:274-284)
+            if self.cfg.block_order == "cell_first":
+                c_raw, c_res = CellBlock(self.cfg)(
+                    cell_attr, edge_attr, graph, extra, train,
+                    fused_dual=True)
+                e_res = FaceBlock(self.cfg)(c_raw, edge_attr, graph, extra,
+                                            train)
+                return c_res, e_res
+            e_raw, e_res = FaceBlock(self.cfg)(cell_attr, edge_attr, graph,
+                                               extra, train, fused_dual=True)
+            c_res = CellBlock(self.cfg)(cell_attr, e_raw, graph, extra,
+                                        train)
+            return c_res, e_res
         prev_cell, prev_edge = cell_attr, edge_attr
         if self.cfg.block_order == "cell_first":
             cell_attr = CellBlock(self.cfg)(cell_attr, edge_attr, graph, extra, train)

@@ -175,8 +175,8 @@ def _dual_colidx_kernel(off_ref, tgt_a_ref, tgt_b_ref, src_hbm,
     band = band2[t % 2]
     rows = jax.lax.broadcasted_iota(jnp.int32, (tile, B), 0)
     dn = (((1,), (0,)), ((), ()))
-    a = (tgt_a_ref[0] == rows).astype(band.dtype)        # (1,B) vs (tile,B)
-    b = (tgt_b_ref[0] == rows).astype(band.dtype)
+    a = (tgt_a_ref[0] == rows).astype(jnp.float32).astype(band.dtype)        # (1,B) vs (tile,B)
+    b = (tgt_b_ref[0] == rows).astype(jnp.float32).astype(band.dtype)
     ra = jax.lax.dot_general(a, band, dimension_numbers=dn,
                              preferred_element_type=jnp.float32)
     rb = jax.lax.dot_general(b, band, dimension_numbers=dn,
@@ -252,8 +252,8 @@ def _dual_rowidx_kernel(off_ref, idx_a_ref, idx_b_ref, src_hbm, out_a, out_b,
     band = band2[t % 2]
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile, B), 1)
     dn = (((1,), (0,)), ((), ()))
-    a = (idx_a_ref[0] == cols).astype(band.dtype)        # (tile,1) vs cols
-    b = (idx_b_ref[0] == cols).astype(band.dtype)
+    a = (idx_a_ref[0] == cols).astype(jnp.float32).astype(band.dtype)        # (tile,1) vs cols
+    b = (idx_b_ref[0] == cols).astype(jnp.float32).astype(band.dtype)
     out_a[:] = jax.lax.dot_general(
         a, band, dimension_numbers=dn,
         preferred_element_type=jnp.float32).astype(out_a.dtype)
@@ -317,9 +317,9 @@ def _rowidx3_kernel(off_ref, i0_ref, i1_ref, i2_ref, src_hbm, out,
     dma_for(t, t % 2).wait()
     band = band2[t % 2]
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile, B), 1)
-    mask = ((i0_ref[0] == cols).astype(band.dtype)
-            + (i1_ref[0] == cols).astype(band.dtype)
-            + (i2_ref[0] == cols).astype(band.dtype))
+    mask = ((i0_ref[0] == cols).astype(jnp.float32)
+            + (i1_ref[0] == cols).astype(jnp.float32)
+            + (i2_ref[0] == cols).astype(jnp.float32)).astype(band.dtype)
     out[:] = jax.lax.dot_general(
         mask, band, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).astype(out.dtype)
@@ -496,3 +496,305 @@ def gather_face_cells_pallas(cell_attr: jax.Array, graph):
     x_col = (jnp.concatenate(cols) if len(cols) > 1
              else cols[0]).astype(jnp.float32)
     return x_row, x_col
+
+
+# ---------------------------------------------------------------------------
+# Fused GN-block kernels: gather + 3-layer MLP + LayerNorm + residual in one
+# kernel. Eliminates the concat materialization, both MLP intermediates, and
+# the separate gather outputs from HBM — the remaining traffic per block is
+# one band read + one latent read + one latent write.
+# ---------------------------------------------------------------------------
+
+def _silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def _mlp_ln_tail(e, h0, w1_ref, b1_ref, w2_ref, b2_ref, g_ref, be_ref):
+    """Shared tail: h0 (f32) pre-activation -> silu -> dense -> silu ->
+    dense -> LayerNorm(eps 1e-5). ALL elementwise math stays f32 — Mosaic
+    cannot lower bf16 transcendentals (vector.broadcast f32->bf16 verifier
+    error); only MXU dot inputs and the final store are bf16. Returns (raw
+    block output, residualed output) — the reference GN_Block feeds the RAW
+    cell output to its face block and residuals afterwards
+    (Fvgn.py:274-284)."""
+    dn = (((1,), (0,)), ((), ()))
+    wdt = w1_ref.dtype
+    h = _silu(h0)                                             # f32
+    h = jax.lax.dot_general(h.astype(wdt), w1_ref[...],
+                            dimension_numbers=dn,
+                            preferred_element_type=jnp.float32) \
+        + b1_ref[...].astype(jnp.float32)
+    h = _silu(h)
+    h = jax.lax.dot_general(h.astype(wdt), w2_ref[...],
+                            dimension_numbers=dn,
+                            preferred_element_type=jnp.float32) \
+        + b2_ref[...].astype(jnp.float32)
+    mu = jnp.mean(h, axis=1, keepdims=True)
+    var = jnp.mean(jnp.square(h), axis=1, keepdims=True) - jnp.square(mu)
+    hn = (h - mu) * jax.lax.rsqrt(var + 1e-5) * g_ref[...].astype(jnp.float32) \
+        + be_ref[...].astype(jnp.float32)
+    return hn.astype(e.dtype), (e.astype(jnp.float32) + hn).astype(e.dtype)
+
+
+def _fused_face_kernel(off_ref, idxr_ref, idxc_ref, e_ref, w0e_ref, w0r_ref,
+                       w0c_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                       g_ref, be_ref, cells_hbm, *outs_and_scratch,
+                       dual_out: bool):
+    if dual_out:
+        raw_ref, out_ref, band2, sem2 = outs_and_scratch
+    else:
+        out_ref, band2, sem2 = outs_and_scratch
+    B = band2.shape[1]
+    tile = out_ref.shape[0]
+    t = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def dma_for(i, slot):
+        off = pl.multiple_of(off_ref[i], 8)
+        return pltpu.make_async_copy(
+            cells_hbm.at[pl.ds(off, B), :], band2.at[slot], sem2.at[slot])
+
+    @pl.when(t == 0)
+    def _():
+        dma_for(0, 0).start()
+
+    @pl.when(t + 1 < n)
+    def _():
+        dma_for(t + 1, (t + 1) % 2).start()
+
+    dma_for(t, t % 2).wait()
+    band = band2[t % 2]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tile, B), 1)
+    dn = (((1,), (0,)), ((), ()))
+    mr = (idxr_ref[0] == cols).astype(jnp.float32).astype(band.dtype)
+    mc = (idxc_ref[0] == cols).astype(jnp.float32).astype(band.dtype)
+    crow = jax.lax.dot_general(mr, band, dimension_numbers=dn,
+                               preferred_element_type=jnp.float32)
+    ccol = jax.lax.dot_general(mc, band, dimension_numbers=dn,
+                               preferred_element_type=jnp.float32)
+    e = e_ref[...]
+    h0 = (jax.lax.dot_general(e, w0e_ref[...], dimension_numbers=dn,
+                              preferred_element_type=jnp.float32)
+          + jax.lax.dot_general(crow.astype(band.dtype), w0r_ref[...],
+                                dimension_numbers=dn,
+                                preferred_element_type=jnp.float32)
+          + jax.lax.dot_general(ccol.astype(band.dtype), w0c_ref[...],
+                                dimension_numbers=dn,
+                                preferred_element_type=jnp.float32)
+          ) + b0_ref[...].astype(jnp.float32)
+    raw, res = _mlp_ln_tail(e, h0, w1_ref, b1_ref, w2_ref, b2_ref,
+                            g_ref, be_ref)
+    if dual_out:
+        raw_ref[:] = raw
+    out_ref[:] = res
+
+
+def _fused_cell_kernel(off_ref, i0_ref, i1_ref, i2_ref, c_ref, w0c_ref,
+                       w0a_ref, b0_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                       g_ref, be_ref, vtx_hbm, *outs_and_scratch,
+                       dual_out: bool):
+    if dual_out:
+        raw_ref, out_ref, band2, sem2 = outs_and_scratch
+    else:
+        out_ref, band2, sem2 = outs_and_scratch
+    B = band2.shape[1]
+    tile = out_ref.shape[0]
+    t = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def dma_for(i, slot):
+        off = pl.multiple_of(off_ref[i], 8)
+        return pltpu.make_async_copy(
+            vtx_hbm.at[pl.ds(off, B), :], band2.at[slot], sem2.at[slot])
+
+    @pl.when(t == 0)
+    def _():
+        dma_for(0, 0).start()
+
+    @pl.when(t + 1 < n)
+    def _():
+        dma_for(t + 1, (t + 1) % 2).start()
+
+    dma_for(t, t % 2).wait()
+    band = band2[t % 2]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tile, B), 1)
+    dn = (((1,), (0,)), ((), ()))
+    mask = ((i0_ref[0] == cols).astype(jnp.float32)
+            + (i1_ref[0] == cols).astype(jnp.float32)
+            + (i2_ref[0] == cols).astype(jnp.float32)).astype(band.dtype)
+    # (tile, 128) vertex sum; payload lanes 0:H/2, w0a rows H/2: are zeroed
+    agg = ((jax.lax.dot_general(mask, band, dimension_numbers=dn,
+                                preferred_element_type=jnp.float32)
+            * jnp.float32(1.0 / 3.0))).astype(band.dtype)
+    c = c_ref[...]
+    h0 = (jax.lax.dot_general(c, w0c_ref[...], dimension_numbers=dn,
+                              preferred_element_type=jnp.float32)
+          + jax.lax.dot_general(agg, w0a_ref[...], dimension_numbers=dn,
+                                preferred_element_type=jnp.float32)
+          ) + b0_ref[...].astype(jnp.float32)
+    raw, res = _mlp_ln_tail(c, h0, w1_ref, b1_ref, w2_ref, b2_ref,
+                            g_ref, be_ref)
+    if dual_out:
+        raw_ref[:] = raw
+    out_ref[:] = res
+
+
+def _weight_specs(shapes):
+    return [pl.BlockSpec(s, (lambda t, off, n=len(s): (0,) * n),
+                         memory_space=pltpu.VMEM) for s in shapes]
+
+
+@functools.partial(jax.jit, static_argnames=("band", "dual_out"))
+def fused_face_tiles_pallas(idx_r, idx_c, off, edge_attr, cell_attr, p,
+                            band: int, dual_out: bool = False):
+    """One fused FaceBlock chunk: edge latents (F, H) + banded cell gathers
+    -> residualed new edge latents (F, H). ``p`` is the dict from
+    ``MLP(..., raw=True)`` with w0 pre-split into [edge|row|col] thirds."""
+    T, tile, _ = idx_r.shape
+    H = edge_attr.shape[1]
+    wdt = edge_attr.dtype
+    w0e, w0r, w0c = (p["w0"][:H].astype(wdt), p["w0"][H:2 * H].astype(wdt),
+                     p["w0"][2 * H:3 * H].astype(wdt))
+    args = [w0e, w0r, w0c, p["b0"].astype(wdt).reshape(1, -1),
+            p["w1"].astype(wdt), p["b1"].astype(wdt).reshape(1, -1),
+            p["w2"].astype(wdt), p["b2"].astype(wdt).reshape(1, -1),
+            p["ln_scale"].astype(wdt).reshape(1, -1),
+            p["ln_bias"].astype(wdt).reshape(1, -1)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, tile, 1), lambda t, off: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda t, off: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, H), lambda t, off: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ] + _weight_specs([a.shape for a in args]) + [
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec((tile, H), lambda t, off: (t, 0),
+                                memory_space=pltpu.VMEM)
+                   ] * (2 if dual_out else 1),
+        scratch_shapes=[pltpu.VMEM((2, band, H), cell_attr.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_fused_face_kernel, dual_out=dual_out),
+        out_shape=[jax.ShapeDtypeStruct((T * tile, H), edge_attr.dtype)
+                   ] * (2 if dual_out else 1),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(off, idx_r, idx_c, edge_attr, *args, cell_attr)
+    return tuple(outs) if dual_out else outs[0]
+
+
+@functools.partial(jax.jit, static_argnames=("band", "dual_out"))
+def fused_cell_tiles_pallas(i0, i1, i2, off, cell_attr, vtx128, p, band: int,
+                            dual_out: bool = False):
+    """One fused CellBlock chunk: cell latents (C, H) + banded 3-vertex mean
+    -> residualed new cell latents. w0 rows are [cell H | agg H/2]; the agg
+    rows are zero-padded to H so the garbage lanes H/2: of the combined
+    vertex latent contribute nothing."""
+    T, tile, _ = i0.shape
+    H = cell_attr.shape[1]
+    wdt = cell_attr.dtype
+    w0c = p["w0"][:H].astype(wdt)
+    w0a = jnp.zeros((H, H), wdt).at[: H // 2].set(
+        p["w0"][H: H + H // 2].astype(wdt))
+    args = [w0c, w0a, p["b0"].astype(wdt).reshape(1, -1),
+            p["w1"].astype(wdt), p["b1"].astype(wdt).reshape(1, -1),
+            p["w2"].astype(wdt), p["b2"].astype(wdt).reshape(1, -1),
+            p["ln_scale"].astype(wdt).reshape(1, -1),
+            p["ln_bias"].astype(wdt).reshape(1, -1)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, tile, 1), lambda t, off: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda t, off: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tile, 1), lambda t, off: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, H), lambda t, off: (t, 0),
+                         memory_space=pltpu.VMEM),
+        ] + _weight_specs([a.shape for a in args]) + [
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec((tile, H), lambda t, off: (t, 0),
+                                memory_space=pltpu.VMEM)
+                   ] * (2 if dual_out else 1),
+        scratch_shapes=[pltpu.VMEM((2, band, H), vtx128.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_fused_cell_kernel, dual_out=dual_out),
+        out_shape=[jax.ShapeDtypeStruct((T * tile, H), cell_attr.dtype)
+                   ] * (2 if dual_out else 1),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(off, i0, i1, i2, cell_attr, *args, vtx128)
+    return tuple(outs) if dual_out else outs[0]
+
+
+def fused_face_block_pallas(cell_attr, edge_attr, graph, p,
+                            dual_out: bool = False):
+    """FaceBlock over all chunks of a (possibly batched) graph. Returns the
+    residualed new edge latents; with ``dual_out`` also the raw (un-
+    residualed) block output as (raw, residualed)."""
+    B = graph.cf_row_onehot.shape[2]
+    raws, outs = [], []
+    to = so = eo = 0
+    for spec, espec in zip(graph.cf_start, graph.es_start):
+        Tp, Sp = spec[0], spec[1]
+        Fp = espec[1]
+        r = fused_face_tiles_pallas(
+            graph.cf_row_idx[to: to + Tp], graph.cf_col_idx[to: to + Tp],
+            graph.cf_off[to: to + Tp], edge_attr[eo: eo + Fp],
+            cell_attr[so: so + Sp], p, band=B, dual_out=dual_out)
+        if dual_out:
+            raws.append(r[0])
+            outs.append(r[1])
+        else:
+            outs.append(r)
+        to += Tp
+        so += Sp
+        eo += Fp
+    res = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+    if dual_out:
+        raw = jnp.concatenate(raws) if len(raws) > 1 else raws[0]
+        return raw, res
+    return res
+
+
+def fused_cell_block_pallas(cell_attr, edge_attr, graph, p,
+                            dual_out: bool = False):
+    """CellBlock: es/er vertex sum (existing kernel) + fused vc-mean + MLP +
+    LayerNorm. Returns the residualed cell latents; with ``dual_out`` also
+    the raw block output as (raw, residualed)."""
+    vtx = aggregate_edges_to_vertices_pallas(edge_attr, graph)
+    B = graph.vc_onehot.shape[2]
+    raws, outs = [], []
+    to = co = vo = 0
+    for spec in graph.vc_start:
+        Tp, Vp = spec[0], spec[1]
+        Cp = Tp * 128
+        r = fused_cell_tiles_pallas(
+            graph.vc_idx0[to: to + Tp], graph.vc_idx1[to: to + Tp],
+            graph.vc_idx2[to: to + Tp], graph.vc_off[to: to + Tp],
+            cell_attr[co: co + Cp], vtx[vo: vo + Vp], p, band=B,
+            dual_out=dual_out)
+        if dual_out:
+            raws.append(r[0])
+            outs.append(r[1])
+        else:
+            outs.append(r)
+        to += Tp
+        co += Cp
+        vo += Vp
+    res = jnp.concatenate(outs) if len(outs) > 1 else outs[0]
+    if dual_out:
+        raw = jnp.concatenate(raws) if len(raws) > 1 else raws[0]
+        return raw, res
+    return res

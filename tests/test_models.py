@@ -345,12 +345,26 @@ def test_pallas_index_built_aggregation_equivalence():
     _, feats = model_pal.transform_features(g, None, mode="rollout")
     variables = model_pal.init(jax.random.PRNGKey(1), g, feats)
     o_dense, _ = model_pal.forward(variables, g, feats, mode="rollout")
-    o_idx, _ = model_pal.forward(variables, gs, feats, mode="rollout")
+    import os
+    os.environ["GFD_PALLAS_UNFUSED"] = "1"   # strict: same math, idx tables
+    try:
+        o_idx, _ = model_pal.forward(variables, gs, feats, mode="rollout")
+    finally:
+        os.environ.pop("GFD_PALLAS_UNFUSED", None)
     C = int(np.asarray(g.cell_mask).sum())
     np.testing.assert_allclose(
         np.asarray(o_idx["cell_velocity_change"][:C]),
         np.asarray(o_dense["cell_velocity_change"][:C]),
         rtol=1e-5, atol=1e-6)
+    # fused GN-block kernels (gather+MLP+LN+residual, bf16 latents): loose
+    # tolerance against the dense-table f32-latent path
+    o_fused, _ = model_pal.forward(variables, gs, feats, mode="rollout")
+    scale = float(np.abs(np.asarray(
+        o_dense["cell_velocity_change"][:C])).max())
+    np.testing.assert_allclose(
+        np.asarray(o_fused["cell_velocity_change"][:C]),
+        np.asarray(o_dense["cell_velocity_change"][:C]),
+        rtol=5e-2, atol=2e-2 * scale)
 
 
 def test_pallas_index_kernels_match_dense():
