@@ -7,16 +7,24 @@
 #
 # Exit codes from the train CLI: 0 = all epochs done, 3 = epoch-limit break
 # (resume), anything else = crash (also resumed, bounded retries).
+# DEADLINE_S (optional): wall-clock budget in seconds — no new slice starts
+# past it; the best checkpoint so far is what ships (exit 4).
 set -u
 CONFIG=${1:?usage: chain_train.sh CONFIG [CKPT_DIR] [LOG]}
 CKPT=${2:-}
 LOG=${3:-/dev/stdout}
 MAX_RUNS=${MAX_RUNS:-40}
+DEADLINE_S=${DEADLINE_S:-}
+START_TS=$(date +%s)
 
 CKPT_ARGS=()
 [ -n "$CKPT" ] && CKPT_ARGS=(--ckpt-dir "$CKPT")
 
 for i in $(seq 1 "$MAX_RUNS"); do
+    if [ -n "$DEADLINE_S" ] && [ $(( $(date +%s) - START_TS )) -ge "$DEADLINE_S" ]; then
+        echo "chain: deadline reached after $(( $(date +%s) - START_TS ))s" >> "$LOG"
+        exit 4
+    fi
     RESUME=()
     if [ -n "$CKPT" ] && [ -e "$CKPT/latest.json" ]; then
         RESUME=(--resume latest)
