@@ -1,0 +1,163 @@
+"""2-D SPMD training: ``data x space`` sharding under one ``jit`` (GSPMD).
+
+The data-parallel path (:mod:`.data_parallel`) shards whole graphs over the
+``data`` axis with an explicit ``shard_map``/``pmean``. This module is the
+compiler-partitioned complement for meshes too large for one chip's HBM:
+every per-entity array of a :class:`~gnn_fluid_dynamics_tpu.graph.MeshGraph`
+— cell/face/vertex rows AND the banded one-hot tile tables — is additionally
+sharded over a ``space`` axis, parameters and optimizer state stay
+replicated, and the whole train step is a single ``jax.jit`` whose input
+shardings tell XLA's SPMD partitioner where everything lives.  No collective
+is written by hand: the banded aggregation is static ``lax.slice`` windows +
+one einsum (ops/banded.py), and after RCM reordering each tile's band only
+reaches a few rows past the shard boundary, so the partitioner lowers the
+cross-shard band reads to nearest-neighbour collective-permutes over ICI and
+the replicated-parameter gradients to one all-reduce — the scaling-book
+recipe (pick a mesh, annotate shardings, let XLA insert collectives).
+
+The reference has no counterpart (its DDP is declared non-operational,
+src/train.py:4); this is capability the TPU build adds: cell counts that
+exceed single-chip HBM shard spatially with zero model-code changes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gnn_fluid_dynamics_tpu.graph import MeshGraph, stack_graphs
+
+# Graph fields whose ENTITY axis is axis 1 once stacked (axis 0 per graph):
+# sharded P("data", "space", ...). Everything not listed below falls in this
+# group — cells (C, ...), faces (F, ...), vertices (V, ...), half-edges
+# (2F, ...), banded tile tables (T, 128, B) and their offset vectors (T,).
+_ENTITY_AXIS2 = frozenset({
+    # (2, F) / (3, C) index tables: entity axis is 1 per graph, 2 stacked
+    "cell_edge_index", "vertex_edge_index", "face_index", "vertex_face",
+})
+_PER_GRAPH = frozenset({"dt", "reynolds"})  # scalar per graph: data-sharded
+
+
+def make_mesh_2d(n_data: int, n_space: int,
+                 axis_names=("data", "space")) -> Mesh:
+    devices = jax.devices()
+    n = n_data * n_space
+    assert n <= len(devices), (n_data, n_space, len(devices))
+    return Mesh(np.asarray(devices[:n]).reshape(n_data, n_space), axis_names)
+
+
+def graph_pspec(field: str, leaf, data_axis="data",
+                space_axis="space") -> P:
+    """PartitionSpec for one stacked-graph leaf (leading axis = graph stack)."""
+    ndim = np.ndim(leaf)
+    if field in _PER_GRAPH or ndim <= 1:
+        return P(data_axis)
+    if field in _ENTITY_AXIS2:
+        if ndim < 3:            # unstacked (2, F) leaf — no data axis
+            return P(None, space_axis)
+        return P(data_axis, None, space_axis)
+    return P(data_axis, space_axis)
+
+
+def shard_spatial_batch(per_device_graphs: Sequence[MeshGraph],
+                        mesh: Mesh) -> MeshGraph:
+    """Stack per-data-shard batched graphs along a leading axis and place
+    every leaf sharded (data, space) on the 2-D mesh. The stack length must
+    equal the mesh's ``data`` extent; entity axes need not divide the
+    ``space`` extent (GSPMD pads internally)."""
+    stacked = stack_graphs(list(per_device_graphs))
+    names = {f.name for f in dataclasses.fields(MeshGraph)}
+
+    def place(path, leaf):
+        field = _path_field(path, names)
+        return jax.device_put(
+            leaf, NamedSharding(mesh, graph_pspec(field, leaf)))
+
+    return jax.tree_util.tree_map_with_path(place, stacked)
+
+
+def _path_field(path, names) -> str:
+    for key in path:
+        name = getattr(key, "name", None)
+        if name in names:
+            return name
+    return ""
+
+
+def replicate_2d(tree, mesh: Mesh):
+    sharding = NamedSharding(mesh, P())
+    return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def make_spmd_train_step(model, optimizer: optax.GradientTransformation,
+                         mesh: Mesh, noise_std: float = 0.0,
+                         pushforward_factor: int = 0,
+                         with_pf: bool = True) -> Callable:
+    """Build the jitted 2-D SPMD train step.
+
+    Semantics match :func:`~.data_parallel.make_dp_train_step` (same loss,
+    same pushforward/warmup handling, same RNG decorrelation per graph) but
+    parallelism is expressed as input shardings instead of ``shard_map``:
+    the graph stack is vmapped, the loss is the mean over the stack, and XLA
+    partitions compute over both mesh axes and inserts the gradient
+    all-reduce itself.
+
+    Returns ``step(state, stacked_graphs, lr) -> (state, losses)`` where
+    ``stacked_graphs`` comes from :func:`shard_spatial_batch` and ``state``
+    from :func:`replicate_2d`.
+    """
+    from gnn_fluid_dynamics_tpu.training.trainer import (TrainState, _set_lr,
+                                                         pushforward_retarget,
+                                                         warmup_window)
+    pf = int(pushforward_factor or 0)
+    use_pf = with_pf and pf > 0 and model.pushforward_use
+    warm_slice = (not with_pf) and pf > 0 and model.pushforward_use
+
+    def per_graph_loss(params, batch_stats, graph: MeshGraph, rng):
+        if warm_slice:
+            graph = warmup_window(graph)
+        k_feat, k_drop = jax.random.split(rng)
+        tgraph, feats = model.transform_features(graph, k_feat, mode="train",
+                                                 noise_std=noise_std)
+        variables = {"params": params, "batch_stats": batch_stats}
+        if use_pf:
+            feats = pushforward_retarget(model, variables, tgraph, feats, pf)
+        outputs, updates = model.forward(variables, tgraph, feats,
+                                         mode="train", rngs={"dropout": k_drop})
+        losses = model.loss(outputs, feats, tgraph)
+        return losses, updates
+
+    def loss_fn(params, batch_stats, graphs: MeshGraph, rng):
+        n = graphs.cell_pos.shape[0]
+        keys = jax.random.split(rng, n)
+        losses, updates = jax.vmap(
+            lambda g, k: per_graph_loss(params, batch_stats, g, k))(
+                graphs, keys)
+        losses = jax.tree.map(lambda x: jnp.mean(x, axis=0), losses)
+        updates = jax.tree.map(lambda x: jnp.mean(x, axis=0), updates)
+        return losses["total_log_loss"], (losses, updates)
+
+    def step_fn(state: TrainState, graphs: MeshGraph, lr):
+        rng, k = jax.random.split(state.rng)
+        grads, (losses, updates) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, graphs, k)
+        opt_state = _set_lr(state.opt_state, lr)
+        p_updates, opt_state = optimizer.update(grads, opt_state, state.params)
+        params = optax.apply_updates(state.params, p_updates)
+        new_bs = updates.get("batch_stats", state.batch_stats)
+        return TrainState(params=params, batch_stats=new_bs,
+                          opt_state=opt_state, step=state.step + 1,
+                          rng=rng), losses
+
+    jitted = jax.jit(step_fn, donate_argnums=(0,))
+
+    def step_wrapper(state, graphs, lr):
+        return jitted(state, graphs, jnp.asarray(lr, jnp.float32))
+
+    return step_wrapper
