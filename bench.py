@@ -5,11 +5,13 @@ shipped workload shape — FluxD-sized model (hidden 128, 15 message-passing
 steps, reference config/train.json:30-33), 600-step rollout. Two tracked scale
 points (VERDICT item 9):
 
-* ~3.5k cells (DeepMind cylinder-flow scale), aggregation="banded" — the
+* ~3.5k cells (DeepMind cylinder-flow scale), aggregation="auto" — the
   headline number; baseline target 600 steps < 1 s on one TPU v5e chip.
-* ~14k cells (production mesh scale), aggregation="auto" — exercises the
-  Pallas crossover (PERF.md: the fused Pallas backend wins past ~10k cells),
-  keeping the crossover claim continuously measured.
+* ~14k cells (production mesh scale), aggregation="auto".
+
+``auto`` resolves to the chunked fused Pallas kernels for rollout on TPU
+(PERF.md round 3: they beat the XLA banded path at every measured size);
+pass --aggregation banded to track the XLA path.
 
 Prints ONE JSON line; the headline entry's fields are top-level, the
 production-scale entry rides under ``detail.production_scale``.
@@ -106,7 +108,7 @@ def main():
     parser.add_argument("--mp-num", type=int, default=15)
     parser.add_argument("--model", type=str, default="FluxD")
     parser.add_argument("--n-points", type=int, default=2400)
-    parser.add_argument("--aggregation", type=str, default="banded",
+    parser.add_argument("--aggregation", type=str, default="auto",
                         choices=["segment", "gather", "banded", "pallas", "auto"])
     parser.add_argument("--banded-dtype", type=str, default=None,
                         help="table storage dtype (default: --dtype; "

@@ -142,9 +142,11 @@ def aggregate_faces_to_cells(edge_attr: jax.Array, graph: MeshGraph,
     return jnp.sum(e * w[..., None], axis=1)
 
 
-AUTO_PALLAS_MIN_CELLS = 10240   # measured crossover (PERF.md): fused Pallas
-#                                 kernels beat the XLA banded path past ~10k
-#                                 cells on v5e
+AUTO_PALLAS_MIN_CELLS = 0   # chunked fused Pallas kernels (K tiles per grid
+#                             step over one shared band DMA, ops/pallas_agg)
+#                             beat the XLA banded path at every measured size
+#                             on v5e: 1512 vs 1334 steps/s at 3.5k cells,
+#                             450 vs 368 at 13.7k (PERF.md round 3)
 
 
 def _resolve_aggregation(aggregation: str, graph: MeshGraph,

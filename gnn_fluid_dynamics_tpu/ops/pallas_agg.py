@@ -430,7 +430,16 @@ def aggregate_edges_to_vertices_pallas(edge_attr: jax.Array, graph):
         off = graph.es_off[to: to + Tp]
         src = edge_attr[so: so + Sp].astype(jnp.bfloat16)
         roll = edge_attr.shape[1] // 2
-        if use_idx:
+        plan = (_chunk_plan(tuple(spec[2]), graph.es_onehot.shape[2], Sp)
+                if use_idx and len(spec) > 2
+                and not os.environ.get("GFD_PALLAS_NOCHUNK") else None)
+        if plan is not None:
+            K, Bk, co, dl = plan
+            outs.append(banded_dual_colidx_chunked(
+                graph.es_tgt[to: to + Tp], graph.er_tgt[to: to + Tp],
+                jnp.asarray(co), jnp.asarray(dl), src, band_k=Bk, K=K,
+                combine_roll=roll))
+        elif use_idx:
             outs.append(banded_dual_colidx_pallas(
                 graph.es_tgt[to: to + Tp], graph.er_tgt[to: to + Tp],
                 off, src, combine_roll=roll))
@@ -749,10 +758,21 @@ def fused_face_block_pallas(cell_attr, edge_attr, graph, p,
     for spec, espec in zip(graph.cf_start, graph.es_start):
         Tp, Sp = spec[0], spec[1]
         Fp = espec[1]
-        r = fused_face_tiles_pallas(
-            graph.cf_row_idx[to: to + Tp], graph.cf_col_idx[to: to + Tp],
-            graph.cf_off[to: to + Tp], edge_attr[eo: eo + Fp],
-            cell_attr[so: so + Sp], p, band=B, dual_out=dual_out)
+        plan = (_chunk_plan(tuple(spec[2]), B, Sp)
+                if len(spec) > 2 and not os.environ.get("GFD_PALLAS_NOCHUNK")
+                else None)
+        if plan is not None:
+            K, Bk, co, dl = plan
+            r = fused_face_tiles_chunked(
+                graph.cf_row_idx[to: to + Tp], graph.cf_col_idx[to: to + Tp],
+                jnp.asarray(co), jnp.asarray(dl), edge_attr[eo: eo + Fp],
+                cell_attr[so: so + Sp], p, band=B, band_k=Bk, K=K,
+                dual_out=dual_out)
+        else:
+            r = fused_face_tiles_pallas(
+                graph.cf_row_idx[to: to + Tp], graph.cf_col_idx[to: to + Tp],
+                graph.cf_off[to: to + Tp], edge_attr[eo: eo + Fp],
+                cell_attr[so: so + Sp], p, band=B, dual_out=dual_out)
         if dual_out:
             raws.append(r[0])
             outs.append(r[1])
@@ -780,11 +800,22 @@ def fused_cell_block_pallas(cell_attr, edge_attr, graph, p,
     for spec in graph.vc_start:
         Tp, Vp = spec[0], spec[1]
         Cp = Tp * 128
-        r = fused_cell_tiles_pallas(
-            graph.vc_idx0[to: to + Tp], graph.vc_idx1[to: to + Tp],
-            graph.vc_idx2[to: to + Tp], graph.vc_off[to: to + Tp],
-            cell_attr[co: co + Cp], vtx[vo: vo + Vp], p, band=B,
-            dual_out=dual_out)
+        plan = (_chunk_plan(tuple(spec[2]), B, Vp)
+                if len(spec) > 2 and not os.environ.get("GFD_PALLAS_NOCHUNK")
+                else None)
+        if plan is not None:
+            K, Bk, cof, dl = plan
+            r = fused_cell_tiles_chunked(
+                graph.vc_idx0[to: to + Tp], graph.vc_idx1[to: to + Tp],
+                graph.vc_idx2[to: to + Tp], jnp.asarray(cof),
+                jnp.asarray(dl), cell_attr[co: co + Cp], vtx[vo: vo + Vp],
+                p, band=B, band_k=Bk, K=K, dual_out=dual_out)
+        else:
+            r = fused_cell_tiles_pallas(
+                graph.vc_idx0[to: to + Tp], graph.vc_idx1[to: to + Tp],
+                graph.vc_idx2[to: to + Tp], graph.vc_off[to: to + Tp],
+                cell_attr[co: co + Cp], vtx[vo: vo + Vp], p, band=B,
+                dual_out=dual_out)
         if dual_out:
             raws.append(r[0])
             outs.append(r[1])
@@ -798,3 +829,357 @@ def fused_cell_block_pallas(cell_attr, edge_attr, graph, p,
         raw = jnp.concatenate(raws) if len(raws) > 1 else raws[0]
         return raw, res
     return res
+
+
+# ---------------------------------------------------------------------------
+# Chunked fused kernels: K consecutive tiles per grid step sharing ONE band
+# DMA. The per-tile kernels above run ~0.2us of compute per 128-row tile —
+# far below the ~1us HBM DMA latency, so double buffering cannot hide the
+# band fetch and the grid stalls on bubbles (trace: 0.84us/tile vs 0.2us
+# analytic). Chunking K tiles (i) amortizes the latency behind K tiles of
+# compute and (ii) de-duplicates the overlap between adjacent tiles' bands,
+# cutting band traffic ~(K*B)/Bk times. Index tables stay per-tile; each
+# tile's columns are rebased into the chunk band by a static prefetched
+# delta (dead idx < 0 is masked explicitly — after rebasing, -1 could alias
+# a live column).
+# ---------------------------------------------------------------------------
+
+
+def _round_up_pl(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+@functools.lru_cache(maxsize=4096)
+def _chunk_plan(offsets: tuple, B: int, S: int, max_k: int = 8,
+                max_band: int = 2048):
+    """Static chunk plan from static per-tile band starts.
+
+    Returns ``(K, Bk, chunk_off (T//K,) int32, delta (T,) int32)`` for the
+    largest K in {max_k, ..., 2} dividing T whose chunk band width Bk stays
+    within ``max_band`` (wider bands raise the mask-build VPU cost and the
+    gather-dot FLOPs per chunk), or ``None`` when per-tile kernels should be
+    used. All alignment invariants of ops/banded.py hold: chunk offsets are
+    mins of 8-aligned starts clamped to ``S - Bk`` with S a multiple of 128.
+    """
+    T = len(offsets)
+    off = np.asarray(offsets, np.int64)
+    k = max_k
+    while k >= 2:
+        if T % k == 0:
+            co = off.reshape(-1, k).min(axis=1)
+            Bk = int(np.max(off.reshape(-1, k) + B - co[:, None]))
+            Bk = min(_round_up_pl(Bk, 128), _round_up_pl(max(S, 1), 128))
+            co = np.minimum(co, max(S - Bk, 0))
+            if (int(np.max(off.reshape(-1, k) + B - co[:, None])) <= Bk
+                    and Bk <= max(max_band, B)):
+                dl = (off - np.repeat(co, k)).astype(np.int32)
+                return k, int(Bk), co.astype(np.int32), dl
+        k //= 2
+    return None
+
+
+def _fused_face_kernel_chunk(co_ref, dl_ref, idxr_ref, idxc_ref, e_ref,
+                             w0e_ref, w0r_ref, w0c_ref, b0_ref, w1_ref,
+                             b1_ref, w2_ref, b2_ref, g_ref, be_ref,
+                             cells_hbm, *outs_and_scratch, dual_out: bool,
+                             K: int, B: int):
+    if dual_out:
+        raw_ref, out_ref, band2, sem2 = outs_and_scratch
+    else:
+        out_ref, band2, sem2 = outs_and_scratch
+    Bk = band2.shape[1]
+    tile = idxr_ref.shape[1]
+    j = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def dma_for(i, slot):
+        off = pl.multiple_of(co_ref[i], 8)
+        return pltpu.make_async_copy(
+            cells_hbm.at[pl.ds(off, Bk), :], band2.at[slot], sem2.at[slot])
+
+    @pl.when(j == 0)
+    def _():
+        dma_for(0, 0).start()
+
+    @pl.when(j + 1 < n)
+    def _():
+        dma_for(j + 1, (j + 1) % 2).start()
+
+    dma_for(j, j % 2).wait()
+    slot = j % 2
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tile, B), 1)
+    dn = (((1,), (0,)), ((), ()))
+    crows, ccols = [], []
+    for k in range(K):
+        # narrow per-tile mask over the ORIGINAL band width B; the tile's
+        # band is an 8-aligned dynamic slice of the chunk band, so the idx
+        # columns need no rebasing (and dead idx == -1 never matches)
+        rel = pl.multiple_of(dl_ref[j * K + k], 8)
+        band_k = band2[slot, pl.ds(rel, B), :]               # (B, H)
+        mr = (idxr_ref[k] == cols).astype(jnp.float32)
+        mc = (idxc_ref[k] == cols).astype(jnp.float32)
+        crows.append(jax.lax.dot_general(
+            mr.astype(band_k.dtype), band_k, dimension_numbers=dn,
+            preferred_element_type=jnp.float32))
+        ccols.append(jax.lax.dot_general(
+            mc.astype(band_k.dtype), band_k, dimension_numbers=dn,
+            preferred_element_type=jnp.float32))
+    wdt = band2.dtype
+    crow = jnp.concatenate(crows, axis=0)                    # (K*tile, H) f32
+    ccol = jnp.concatenate(ccols, axis=0)
+    e = e_ref[...]
+    h0 = (jax.lax.dot_general(e, w0e_ref[...], dimension_numbers=dn,
+                              preferred_element_type=jnp.float32)
+          + jax.lax.dot_general(crow.astype(wdt), w0r_ref[...],
+                                dimension_numbers=dn,
+                                preferred_element_type=jnp.float32)
+          + jax.lax.dot_general(ccol.astype(wdt), w0c_ref[...],
+                                dimension_numbers=dn,
+                                preferred_element_type=jnp.float32)
+          ) + b0_ref[...].astype(jnp.float32)
+    raw, res = _mlp_ln_tail(e, h0, w1_ref, b1_ref, w2_ref, b2_ref,
+                            g_ref, be_ref)
+    if dual_out:
+        raw_ref[:] = raw
+    out_ref[:] = res
+
+
+def _fused_cell_kernel_chunk(co_ref, dl_ref, i0_ref, i1_ref, i2_ref, c_ref,
+                             w0c_ref, w0a_ref, b0_ref, w1_ref, b1_ref,
+                             w2_ref, b2_ref, g_ref, be_ref, vtx_hbm,
+                             *outs_and_scratch, dual_out: bool, K: int,
+                             B: int):
+    if dual_out:
+        raw_ref, out_ref, band2, sem2 = outs_and_scratch
+    else:
+        out_ref, band2, sem2 = outs_and_scratch
+    Bk = band2.shape[1]
+    tile = i0_ref.shape[1]
+    j = pl.program_id(0)
+    n = pl.num_programs(0)
+
+    def dma_for(i, slot):
+        off = pl.multiple_of(co_ref[i], 8)
+        return pltpu.make_async_copy(
+            vtx_hbm.at[pl.ds(off, Bk), :], band2.at[slot], sem2.at[slot])
+
+    @pl.when(j == 0)
+    def _():
+        dma_for(0, 0).start()
+
+    @pl.when(j + 1 < n)
+    def _():
+        dma_for(j + 1, (j + 1) % 2).start()
+
+    dma_for(j, j % 2).wait()
+    slot = j % 2
+    wdt = band2.dtype
+    cols = jax.lax.broadcasted_iota(jnp.int32, (tile, B), 1)
+    dn = (((1,), (0,)), ((), ()))
+    aggs = []
+    for k in range(K):
+        rel = pl.multiple_of(dl_ref[j * K + k], 8)
+        band_k = band2[slot, pl.ds(rel, B), :]               # (B, H)
+        m = ((i0_ref[k] == cols).astype(jnp.float32)
+             + (i1_ref[k] == cols).astype(jnp.float32)
+             + (i2_ref[k] == cols).astype(jnp.float32))
+        aggs.append(jax.lax.dot_general(
+            m.astype(wdt), band_k, dimension_numbers=dn,
+            preferred_element_type=jnp.float32) * jnp.float32(1.0 / 3.0))
+    agg = jnp.concatenate(aggs, axis=0).astype(wdt)          # (K*tile, H)
+    c = c_ref[...]
+    h0 = (jax.lax.dot_general(c, w0c_ref[...], dimension_numbers=dn,
+                              preferred_element_type=jnp.float32)
+          + jax.lax.dot_general(agg, w0a_ref[...], dimension_numbers=dn,
+                                preferred_element_type=jnp.float32)
+          ) + b0_ref[...].astype(jnp.float32)
+    raw, res = _mlp_ln_tail(c, h0, w1_ref, b1_ref, w2_ref, b2_ref,
+                            g_ref, be_ref)
+    if dual_out:
+        raw_ref[:] = raw
+    out_ref[:] = res
+
+
+def _weight_specs2(shapes):
+    """Weight BlockSpecs for kernels with TWO scalar-prefetch operands."""
+    return [pl.BlockSpec(s, (lambda j, co, dl, n=len(s): (0,) * n),
+                         memory_space=pltpu.VMEM) for s in shapes]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("band", "band_k", "K", "dual_out"))
+def fused_face_tiles_chunked(idx_r, idx_c, co, dl, edge_attr, cell_attr, p,
+                             band: int, band_k: int, K: int,
+                             dual_out: bool = False):
+    """Chunked fused FaceBlock: K tiles per grid step over one shared band."""
+    T, tile, _ = idx_r.shape
+    H = edge_attr.shape[1]
+    wdt = edge_attr.dtype
+    w0e, w0r, w0c = (p["w0"][:H].astype(wdt), p["w0"][H:2 * H].astype(wdt),
+                     p["w0"][2 * H:3 * H].astype(wdt))
+    args = [w0e, w0r, w0c, p["b0"].astype(wdt).reshape(1, -1),
+            p["w1"].astype(wdt), p["b1"].astype(wdt).reshape(1, -1),
+            p["w2"].astype(wdt), p["b2"].astype(wdt).reshape(1, -1),
+            p["ln_scale"].astype(wdt).reshape(1, -1),
+            p["ln_bias"].astype(wdt).reshape(1, -1)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T // K,),
+        in_specs=[
+            pl.BlockSpec((K, tile, 1), lambda j, co, dl: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, tile, 1), lambda j, co, dl: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K * tile, H), lambda j, co, dl: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ] + _weight_specs2([a.shape for a in args]) + [
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec((K * tile, H), lambda j, co, dl: (j, 0),
+                                memory_space=pltpu.VMEM)
+                   ] * (2 if dual_out else 1),
+        scratch_shapes=[pltpu.VMEM((2, band_k, H), cell_attr.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_fused_face_kernel_chunk, dual_out=dual_out, K=K,
+                          B=band),
+        out_shape=[jax.ShapeDtypeStruct((T * tile, H), edge_attr.dtype)
+                   ] * (2 if dual_out else 1),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(co, dl, idx_r, idx_c, edge_attr, *args, cell_attr)
+    return tuple(outs) if dual_out else outs[0]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("band", "band_k", "K", "dual_out"))
+def fused_cell_tiles_chunked(i0, i1, i2, co, dl, cell_attr, vtx128, p,
+                             band: int, band_k: int, K: int,
+                             dual_out: bool = False):
+    """Chunked fused CellBlock: K tiles per grid step over one shared band."""
+    T, tile, _ = i0.shape
+    H = cell_attr.shape[1]
+    wdt = cell_attr.dtype
+    w0c = p["w0"][:H].astype(wdt)
+    w0a = jnp.zeros((H, H), wdt).at[: H // 2].set(
+        p["w0"][H: H + H // 2].astype(wdt))
+    args = [w0c, w0a, p["b0"].astype(wdt).reshape(1, -1),
+            p["w1"].astype(wdt), p["b1"].astype(wdt).reshape(1, -1),
+            p["w2"].astype(wdt), p["b2"].astype(wdt).reshape(1, -1),
+            p["ln_scale"].astype(wdt).reshape(1, -1),
+            p["ln_bias"].astype(wdt).reshape(1, -1)]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T // K,),
+        in_specs=[
+            pl.BlockSpec((K, tile, 1), lambda j, co, dl: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, tile, 1), lambda j, co, dl: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, tile, 1), lambda j, co, dl: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K * tile, H), lambda j, co, dl: (j, 0),
+                         memory_space=pltpu.VMEM),
+        ] + _weight_specs2([a.shape for a in args]) + [
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec((K * tile, H), lambda j, co, dl: (j, 0),
+                                memory_space=pltpu.VMEM)
+                   ] * (2 if dual_out else 1),
+        scratch_shapes=[pltpu.VMEM((2, band_k, H), vtx128.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_fused_cell_kernel_chunk, dual_out=dual_out, K=K,
+                          B=band),
+        out_shape=[jax.ShapeDtypeStruct((T * tile, H), cell_attr.dtype)
+                   ] * (2 if dual_out else 1),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(co, dl, i0, i1, i2, cell_attr, *args, vtx128)
+    return tuple(outs) if dual_out else outs[0]
+
+
+def _dual_colidx_kernel_chunk(co_ref, dl_ref, tgt_a_ref, tgt_b_ref, src_hbm,
+                              *outs_and_scratch, combine_roll: int, K: int,
+                              B: int):
+    """Chunked :func:`_dual_colidx_kernel`: K tiles per grid step over one
+    shared band DMA, each tile's band an 8-aligned dynamic slice."""
+    if combine_roll:
+        out_a, band2, sem2 = outs_and_scratch
+    else:
+        out_a, out_b, band2, sem2 = outs_and_scratch
+    tile = out_a.shape[0] // K
+    j = pl.program_id(0)
+    n = pl.num_programs(0)
+    Bk = band2.shape[1]
+
+    def dma_for(i, slot):
+        off = pl.multiple_of(co_ref[i], 8)
+        return pltpu.make_async_copy(
+            src_hbm.at[pl.ds(off, Bk), :], band2.at[slot], sem2.at[slot])
+
+    @pl.when(j == 0)
+    def _():
+        dma_for(0, 0).start()
+
+    @pl.when(j + 1 < n)
+    def _():
+        dma_for(j + 1, (j + 1) % 2).start()
+
+    dma_for(j, j % 2).wait()
+    slot = j % 2
+    rows = jax.lax.broadcasted_iota(jnp.int32, (tile, B), 0)
+    dn = (((1,), (0,)), ((), ()))
+    ras, rbs = [], []
+    for k in range(K):
+        rel = pl.multiple_of(dl_ref[j * K + k], 8)
+        band_k = band2[slot, pl.ds(rel, B), :]
+        a = (tgt_a_ref[k] == rows).astype(jnp.float32).astype(band_k.dtype)
+        b = (tgt_b_ref[k] == rows).astype(jnp.float32).astype(band_k.dtype)
+        ras.append(jax.lax.dot_general(a, band_k, dimension_numbers=dn,
+                                       preferred_element_type=jnp.float32))
+        rbs.append(jax.lax.dot_general(b, band_k, dimension_numbers=dn,
+                                       preferred_element_type=jnp.float32))
+    ra = jnp.concatenate(ras, axis=0)
+    rb = jnp.concatenate(rbs, axis=0)
+    if combine_roll:
+        out_a[:] = (ra + pltpu.roll(rb, combine_roll, 1)).astype(out_a.dtype)
+    else:
+        out_a[:] = ra.astype(out_a.dtype)
+        out_b[:] = rb.astype(out_b.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("combine_roll", "band_k", "K"))
+def banded_dual_colidx_chunked(tgt_a: jax.Array, tgt_b: jax.Array,
+                               co: jax.Array, dl: jax.Array, src: jax.Array,
+                               band_k: int, K: int, combine_roll: int = 0):
+    T, _, B = tgt_a.shape
+    tile = 128
+    H = src.shape[1]
+    n_out = 1 if combine_roll else 2
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(T // K,),
+        in_specs=[
+            pl.BlockSpec((K, 1, B), lambda j, co, dl: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 1, B), lambda j, co, dl: (j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec((K * tile, H), lambda j, co, dl: (j, 0),
+                                memory_space=pltpu.VMEM)] * n_out,
+        scratch_shapes=[pltpu.VMEM((2, band_k, H), src.dtype),
+                        pltpu.SemaphoreType.DMA((2,))],
+    )
+    outs = pl.pallas_call(
+        functools.partial(_dual_colidx_kernel_chunk,
+                          combine_roll=combine_roll, K=K, B=B),
+        out_shape=[jax.ShapeDtypeStruct((T * tile, H), src.dtype)] * n_out,
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(co, dl, tgt_a, tgt_b, src)
+    return outs[0] if combine_roll else outs

@@ -509,3 +509,39 @@ def test_diagnose_head_report_flags_collapse():
     assert 0.5 < rel < 2.0
     # learned scales surface as scalar params
     assert any("scale" in k for k in report.get("_scalar_params", {}))
+
+
+def test_pallas_chunked_fused_kernels_match_per_tile():
+    """Chunked fused GN-block kernels (K tiles per grid step over one shared
+    band DMA, ops/pallas_agg.py _chunk_plan) must match the per-tile fused
+    kernels exactly — chunking only changes the DMA/grid schedule, not the
+    math. Uses a mesh big enough that T % K == 0 planning actually fires."""
+    import os
+
+    from gnn_fluid_dynamics_tpu.graph import to_static_bands
+    from gnn_fluid_dynamics_tpu.ops import pallas_agg as pa
+    from gnn_fluid_dynamics_tpu.ops.reorder import rcm_reorder_geometry
+    geom = rcm_reorder_geometry(make_geometry("structured", nx=24, ny=16))
+    fields = taylor_green_trajectory(geom, num_timesteps=3, dt=0.01)
+    g = from_geometry(geom, fields, dt=0.01, pad_multiple=128,
+                      with_banded=True)
+    gs = to_static_bands(g)
+    # planning fires for at least one table group on this mesh
+    plans = [pa._chunk_plan(tuple(s[2]), g.cf_row_onehot.shape[2], s[1])
+             for s in gs.cf_start]
+    assert any(p is not None for p in plans), (gs.cf_start,)
+
+    model_pal = make_model("FvgnA", g, aggregation="pallas")
+    _, feats = model_pal.transform_features(g, None, mode="rollout")
+    variables = model_pal.init(jax.random.PRNGKey(1), g, feats)
+    o_chunk, _ = model_pal.forward(variables, gs, feats, mode="rollout")
+    os.environ["GFD_PALLAS_NOCHUNK"] = "1"
+    try:
+        o_tile, _ = model_pal.forward(variables, gs, feats, mode="rollout")
+    finally:
+        os.environ.pop("GFD_PALLAS_NOCHUNK", None)
+    C = int(np.asarray(g.cell_mask).sum())
+    np.testing.assert_allclose(
+        np.asarray(o_chunk["cell_velocity_change"][:C]),
+        np.asarray(o_tile["cell_velocity_change"][:C]),
+        rtol=1e-5, atol=1e-6)
