@@ -371,7 +371,9 @@ class EncodeProcessDecode(nn.Module):
 
         # explicit names keep the param tree (and checkpoints) identical
         # with and without rematerialization
-        maybe_remat = (nn.remat(GNBlock, static_argnums=(4,))
+        # static_argnums counts the module as arg 0: train is arg 5. Leaving
+        # it traced breaks the fused-block dispatch (`if train` on a tracer).
+        maybe_remat = (nn.remat(GNBlock, static_argnums=(5,))
                        if self.cfg.remat else GNBlock)
         if self.cfg.share_blocks:
             block = maybe_remat(self.cfg, name="GNBlock_0")
