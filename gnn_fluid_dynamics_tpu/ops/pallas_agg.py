@@ -7,30 +7,23 @@ multiply it on the MXU — the band never round-trips through HBM, unlike the
 XLA path in :mod:`gnn_fluid_dynamics_tpu.ops.banded` which materializes
 stacked band slices before its einsum.
 
-Measured on one v5e chip (cylinder mesh, ~3.5k cells, H=128, per MP-block):
+End-to-end rollouts on one v5e chip (bench.py, FluxD hidden 128 mp 15,
+round-3 chunked fused kernels — see the chunked section below):
 
-==============  ============  ===========================
-table           XLA banded    Pallas fused (int8 tables)
-==============  ============  ===========================
-hv (via es/er)  17.8 us       17.7 us
-cf (row+col)    20.0 us       22.5 us (tile=256)
-==============  ============  ===========================
+=============  ===========  ==========================================
+mesh           XLA banded   Pallas fused+chunked (idx-built selectors)
+=============  ===========  ==========================================
+~3.5k cells    1334 st/s    1585 st/s
+~14k cells     368 st/s     450 st/s  (and ~5x faster compile)
+=============  ===========  ==========================================
 
-End-to-end 600-step rollouts (bench.py, FluxD hidden 128 mp 15):
-
-=============  ===========  ============================
-mesh           XLA banded   Pallas fused (int8 tables)
-=============  ===========  ============================
-~3.5k cells    1320 st/s    688 st/s
-~14k cells     261 st/s     314 st/s (and 3x faster compile)
-=============  ===========  ============================
-
-At small scale the XLA static-slice path is near the memory-bound floor
-and Pallas per-program overhead (~0.3us x T tiles) eats the savings from
-skipping band materialization; past ~10k cells band traffic (linear in
-mesh size) dominates the fixed overhead and the fused kernels win. The
-default stays ``aggregation="banded"``; switch to ``"pallas"`` for
-production-size meshes.
+History: the per-tile kernels (one 128-row tile per grid step) lost to the
+XLA path below ~10k cells — ~0.2us of compute per tile cannot hide the ~1us
+band-DMA latency, so the grid stalled on bubbles (trace: 0.84us/tile vs
+0.2us analytic). Chunking K tiles per grid step over ONE shared band DMA
+amortizes the latency and de-duplicates adjacent tiles' band overlap; with
+that fix the fused kernels win at every measured size and ``auto`` resolves
+to ``pallas`` for any TPU rollout.
 
 Safety invariant: band offsets satisfy ``off + B <= num_sources`` (enforced
 in ``banded._build_table``) — an out-of-bounds DMA does not fault cleanly,
