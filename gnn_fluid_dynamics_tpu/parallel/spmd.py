@@ -53,9 +53,17 @@ def make_mesh_2d(n_data: int, n_space: int,
 
 
 def graph_pspec(field: str, leaf, data_axis="data",
-                space_axis="space") -> P:
-    """PartitionSpec for one stacked-graph leaf (leading axis = graph stack)."""
+                space_axis="space", stacked: bool = True) -> P:
+    """PartitionSpec for a graph leaf. ``stacked=True`` assumes a leading
+    graph-stack axis sharded over ``data_axis``; ``stacked=False`` specs a
+    single graph (entity axis leading) for spatial-only sharding."""
     ndim = np.ndim(leaf)
+    if not stacked:
+        if field in _PER_GRAPH or ndim == 0:
+            return P()
+        if field in _ENTITY_AXIS2:
+            return P(None, space_axis)
+        return P(space_axis)
     if field in _PER_GRAPH or ndim <= 1:
         return P(data_axis)
     if field in _ENTITY_AXIS2:
@@ -161,3 +169,44 @@ def make_spmd_train_step(model, optimizer: optax.GradientTransformation,
         return jitted(state, graphs, jnp.asarray(lr, jnp.float32))
 
     return step_wrapper
+
+
+def make_mesh_spatial(n_space: int, axis_name: str = "space") -> Mesh:
+    devices = jax.devices()
+    assert n_space <= len(devices), (n_space, len(devices))
+    return Mesh(np.asarray(devices[:n_space]), (axis_name,))
+
+
+def shard_graph_spatial(graph: MeshGraph, mesh: Mesh) -> MeshGraph:
+    """Place ONE graph's per-entity leaves sharded over the mesh's ``space``
+    axis (cells, faces, vertices, banded tile tables each split row-wise).
+    For rollout of meshes whose tables/fields exceed single-chip HBM."""
+    names = {f.name for f in dataclasses.fields(MeshGraph)}
+
+    def place(path, leaf):
+        field = _path_field(path, names)
+        return jax.device_put(
+            leaf, NamedSharding(mesh, graph_pspec(field, leaf,
+                                                  stacked=False)))
+
+    return jax.tree_util.tree_map_with_path(place, graph)
+
+
+def make_spmd_rollout(model, mesh: Mesh, rollout_cfg) -> Callable:
+    """Jit the autoregressive rollout with spatially-sharded graph inputs.
+
+    Returns ``run(variables, graph, feats) -> (errors, fields)`` where
+    ``graph`` comes from :func:`shard_graph_spatial` and ``variables`` from
+    :func:`replicate_2d`. XLA partitions the ``lax.scan`` body over the
+    ``space`` axis — band slices crossing shard boundaries become
+    nearest-neighbour collective-permutes on ICI, step scalars stay
+    replicated. Numerics are identical to the single-chip rollout (layout
+    change only).
+    """
+    from gnn_fluid_dynamics_tpu.rollout.engine import rollout_scan
+
+    def run(variables, graph, feats):
+        return rollout_scan(model, variables, graph, feats, None, None,
+                            rollout_cfg)
+
+    return jax.jit(run)

@@ -332,3 +332,45 @@ def test_spmd_pspec_mapping():
     assert graph_pspec("dt", np.zeros((2,))) == P("data")
     assert graph_pspec("hv_onehot",
                        np.zeros((2, 3, 128, 128))) == P("data", "space")
+
+
+def test_spmd_rollout_matches_single_device():
+    """Spatially-sharded rollout (graph leaves split over a 4-device space
+    axis) must reproduce the single-device rollout exactly."""
+    from gnn_fluid_dynamics_tpu.graph import to_static_bands
+    from gnn_fluid_dynamics_tpu.parallel import (make_mesh_spatial,
+                                                 make_spmd_rollout,
+                                                 replicate_2d,
+                                                 shard_graph_spatial)
+    from gnn_fluid_dynamics_tpu.rollout.engine import (RolloutConfig,
+                                                       rollout_scan)
+
+    geom = make_geometry("structured", nx=10, ny=6)
+    fields = taylor_green_trajectory(geom, num_timesteps=8, dt=0.01)
+    ds = MeshDataset([Trajectory(mesh_id="m", geom=geom, fields=fields)],
+                     pad_multiple=32)
+    model = get_model_class("FvgnA")(
+        ModelConfig(hidden_width=16, mp_num=1),
+        loss_weights=Config().training.loss_weights)
+    graph = ds.get_batch(ds.sample_map[:1])
+    _, feats = model.transform_rollout(graph)
+    acc = StatsAccumulator(model.nmap)
+    from gnn_fluid_dynamics_tpu.models.base import feature_masks
+    acc.update(feats, feature_masks(graph, feats))
+    model.set_stats(acc.finalize())
+    variables = model.init(jax.random.PRNGKey(0), graph, feats)
+    cfg = RolloutConfig(num_steps=5, compute_error=False, save_fields=True)
+
+    ref_err, ref_fields = jax.jit(
+        lambda v, g, f: rollout_scan(model, v, g, f, None, None, cfg))(
+        variables, graph, feats)
+
+    mesh = make_mesh_spatial(4)
+    g_sp = shard_graph_spatial(graph, mesh)
+    v_sp = replicate_2d(variables, mesh)
+    run = make_spmd_rollout(model, mesh, cfg)
+    sp_err, sp_fields = run(v_sp, g_sp, feats)
+
+    for a, b in zip(jax.tree.leaves(ref_fields), jax.tree.leaves(sp_fields)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-6)
