@@ -142,11 +142,16 @@ def aggregate_faces_to_cells(edge_attr: jax.Array, graph: MeshGraph,
     return jnp.sum(e * w[..., None], axis=1)
 
 
-AUTO_PALLAS_MIN_CELLS = 0   # chunked fused Pallas kernels (K tiles per grid
-#                             step over one shared band DMA, ops/pallas_agg)
-#                             beat the XLA banded path at every measured size
-#                             on v5e: 1512 vs 1334 steps/s at 3.5k cells,
-#                             450 vs 368 at 13.7k (PERF.md round 3)
+AUTO_PALLAS_MIN_CELLS = 10240   # crossover for the DENSE-TABLE per-tile
+#                                 kernels only (graphs without index vectors,
+#                                 e.g. trainer validation's derive_idx=False
+#                                 path): those lose to XLA banded below ~10k
+#                                 cells. With index vectors present
+#                                 (to_static_bands), the idx/chunked kernels
+#                                 win at every measured size (1575 vs 1334
+#                                 steps/s at 3.5k, 450 vs 368 at 13.7k —
+#                                 PERF.md round 3), so ``auto`` takes them
+#                                 unconditionally.
 
 
 def _resolve_aggregation(aggregation: str, graph: MeshGraph,
@@ -160,8 +165,9 @@ def _resolve_aggregation(aggregation: str, graph: MeshGraph,
         return aggregation
     if graph.hv_onehot is None:
         return "segment"
-    if (not train and graph.num_cells >= AUTO_PALLAS_MIN_CELLS
-            and jax.default_backend() == "tpu"):
+    if not train and jax.default_backend() == "tpu" and (
+            graph.es_tgt is not None
+            or graph.num_cells >= AUTO_PALLAS_MIN_CELLS):
         return "pallas"
     return "banded"
 

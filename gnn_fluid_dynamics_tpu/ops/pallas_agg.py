@@ -423,7 +423,9 @@ def aggregate_edges_to_vertices_pallas(edge_attr: jax.Array, graph):
         off = graph.es_off[to: to + Tp]
         src = edge_attr[so: so + Sp].astype(jnp.bfloat16)
         roll = edge_attr.shape[1] // 2
-        plan = (_chunk_plan(tuple(spec[2]), graph.es_onehot.shape[2], Sp)
+        # band width from the table the kernel actually slices with
+        # (es_tgt), not the dense one-hot it happens to be derived from
+        plan = (_chunk_plan(tuple(spec[2]), graph.es_tgt.shape[2], Sp)
                 if use_idx and len(spec) > 2
                 and not os.environ.get("GFD_PALLAS_NOCHUNK") else None)
         if plan is not None:
@@ -831,10 +833,15 @@ def fused_cell_block_pallas(cell_attr, edge_attr, graph, p,
 # band fetch and the grid stalls on bubbles (trace: 0.84us/tile vs 0.2us
 # analytic). Chunking K tiles (i) amortizes the latency behind K tiles of
 # compute and (ii) de-duplicates the overlap between adjacent tiles' bands,
-# cutting band traffic ~(K*B)/Bk times. Index tables stay per-tile; each
-# tile's columns are rebased into the chunk band by a static prefetched
-# delta (dead idx < 0 is masked explicitly — after rebasing, -1 could alias
-# a live column).
+# cutting band traffic ~(K*B)/Bk times. Index tables stay per-tile at the
+# ORIGINAL width B and are never rebased: each tile's band is taken as an
+# 8-aligned dynamic sublane slice of the chunk band at a static prefetched
+# delta, so masks compare against columns in [0, B) exactly like the
+# per-tile kernels (and dead idx == -1 can never alias a live column).
+# Do NOT "simplify" to rebased indices over the full chunk width — that
+# inflates both the mask-build VPU cost and the gather-dot FLOPs by Bk/B
+# (measured 349 vs 450 steps/s at 13.7k cells) and reintroduces the -1
+# aliasing hazard.
 # ---------------------------------------------------------------------------
 
 
@@ -871,24 +878,17 @@ def _chunk_plan(offsets: tuple, B: int, S: int, max_k: int = 8,
     return None
 
 
-def _fused_face_kernel_chunk(co_ref, dl_ref, idxr_ref, idxc_ref, e_ref,
-                             w0e_ref, w0r_ref, w0c_ref, b0_ref, w1_ref,
-                             b1_ref, w2_ref, b2_ref, g_ref, be_ref,
-                             cells_hbm, *outs_and_scratch, dual_out: bool,
-                             K: int, B: int):
-    if dual_out:
-        raw_ref, out_ref, band2, sem2 = outs_and_scratch
-    else:
-        out_ref, band2, sem2 = outs_and_scratch
+def _chunk_band_wait(co_ref, src_hbm, band2, sem2):
+    """Shared double-buffered chunk-band DMA schedule: start chunk 0 on grid
+    step 0, prefetch chunk j+1, wait chunk j. Returns (j, ready slot)."""
     Bk = band2.shape[1]
-    tile = idxr_ref.shape[1]
     j = pl.program_id(0)
     n = pl.num_programs(0)
 
     def dma_for(i, slot):
         off = pl.multiple_of(co_ref[i], 8)
         return pltpu.make_async_copy(
-            cells_hbm.at[pl.ds(off, Bk), :], band2.at[slot], sem2.at[slot])
+            src_hbm.at[pl.ds(off, Bk), :], band2.at[slot], sem2.at[slot])
 
     @pl.when(j == 0)
     def _():
@@ -899,7 +899,20 @@ def _fused_face_kernel_chunk(co_ref, dl_ref, idxr_ref, idxc_ref, e_ref,
         dma_for(j + 1, (j + 1) % 2).start()
 
     dma_for(j, j % 2).wait()
-    slot = j % 2
+    return j, j % 2
+
+
+def _fused_face_kernel_chunk(co_ref, dl_ref, idxr_ref, idxc_ref, e_ref,
+                             w0e_ref, w0r_ref, w0c_ref, b0_ref, w1_ref,
+                             b1_ref, w2_ref, b2_ref, g_ref, be_ref,
+                             cells_hbm, *outs_and_scratch, dual_out: bool,
+                             K: int, B: int):
+    if dual_out:
+        raw_ref, out_ref, band2, sem2 = outs_and_scratch
+    else:
+        out_ref, band2, sem2 = outs_and_scratch
+    tile = idxr_ref.shape[1]
+    j, slot = _chunk_band_wait(co_ref, cells_hbm, band2, sem2)
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile, B), 1)
     dn = (((1,), (0,)), ((), ()))
     crows, ccols = [], []
@@ -946,26 +959,8 @@ def _fused_cell_kernel_chunk(co_ref, dl_ref, i0_ref, i1_ref, i2_ref, c_ref,
         raw_ref, out_ref, band2, sem2 = outs_and_scratch
     else:
         out_ref, band2, sem2 = outs_and_scratch
-    Bk = band2.shape[1]
     tile = i0_ref.shape[1]
-    j = pl.program_id(0)
-    n = pl.num_programs(0)
-
-    def dma_for(i, slot):
-        off = pl.multiple_of(co_ref[i], 8)
-        return pltpu.make_async_copy(
-            vtx_hbm.at[pl.ds(off, Bk), :], band2.at[slot], sem2.at[slot])
-
-    @pl.when(j == 0)
-    def _():
-        dma_for(0, 0).start()
-
-    @pl.when(j + 1 < n)
-    def _():
-        dma_for(j + 1, (j + 1) % 2).start()
-
-    dma_for(j, j % 2).wait()
-    slot = j % 2
+    j, slot = _chunk_band_wait(co_ref, vtx_hbm, band2, sem2)
     wdt = band2.dtype
     cols = jax.lax.broadcasted_iota(jnp.int32, (tile, B), 1)
     dn = (((1,), (0,)), ((), ()))
@@ -1104,25 +1099,7 @@ def _dual_colidx_kernel_chunk(co_ref, dl_ref, tgt_a_ref, tgt_b_ref, src_hbm,
     else:
         out_a, out_b, band2, sem2 = outs_and_scratch
     tile = out_a.shape[0] // K
-    j = pl.program_id(0)
-    n = pl.num_programs(0)
-    Bk = band2.shape[1]
-
-    def dma_for(i, slot):
-        off = pl.multiple_of(co_ref[i], 8)
-        return pltpu.make_async_copy(
-            src_hbm.at[pl.ds(off, Bk), :], band2.at[slot], sem2.at[slot])
-
-    @pl.when(j == 0)
-    def _():
-        dma_for(0, 0).start()
-
-    @pl.when(j + 1 < n)
-    def _():
-        dma_for(j + 1, (j + 1) % 2).start()
-
-    dma_for(j, j % 2).wait()
-    slot = j % 2
+    j, slot = _chunk_band_wait(co_ref, src_hbm, band2, sem2)
     rows = jax.lax.broadcasted_iota(jnp.int32, (tile, B), 0)
     dn = (((1,), (0,)), ((), ()))
     ras, rbs = [], []

@@ -73,19 +73,34 @@ def graph_pspec(field: str, leaf, data_axis="data",
     return P(data_axis, space_axis)
 
 
+def _fit_spec(leaf, spec: P, mesh: Mesh) -> P:
+    """Drop sharded axes whose extent does not divide the leaf's dimension
+    (``device_put`` requires exact divisibility). Small leaves — e.g. a
+    one-tile banded table on a toy mesh — fall back to replication on that
+    axis; at production scale every entity dimension is many multiples of
+    the axis size and the spec is used as-is."""
+    fitted = []
+    for dim, axis in enumerate(spec):
+        if axis is None or np.shape(leaf)[dim] % mesh.shape[axis] == 0:
+            fitted.append(axis)
+        else:
+            fitted.append(None)
+    return P(*fitted)
+
+
 def shard_spatial_batch(per_device_graphs: Sequence[MeshGraph],
                         mesh: Mesh) -> MeshGraph:
     """Stack per-data-shard batched graphs along a leading axis and place
     every leaf sharded (data, space) on the 2-D mesh. The stack length must
-    equal the mesh's ``data`` extent; entity axes need not divide the
-    ``space`` extent (GSPMD pads internally)."""
+    equal the mesh's ``data`` extent; a leaf whose entity dimension does not
+    divide the ``space`` extent stays replicated on that axis."""
     stacked = stack_graphs(list(per_device_graphs))
     names = {f.name for f in dataclasses.fields(MeshGraph)}
 
     def place(path, leaf):
         field = _path_field(path, names)
-        return jax.device_put(
-            leaf, NamedSharding(mesh, graph_pspec(field, leaf)))
+        spec = _fit_spec(leaf, graph_pspec(field, leaf), mesh)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, stacked)
 
@@ -185,23 +200,23 @@ def shard_graph_spatial(graph: MeshGraph, mesh: Mesh) -> MeshGraph:
 
     def place(path, leaf):
         field = _path_field(path, names)
-        return jax.device_put(
-            leaf, NamedSharding(mesh, graph_pspec(field, leaf,
-                                                  stacked=False)))
+        spec = _fit_spec(leaf, graph_pspec(field, leaf, stacked=False), mesh)
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map_with_path(place, graph)
 
 
-def make_spmd_rollout(model, mesh: Mesh, rollout_cfg) -> Callable:
+def make_spmd_rollout(model, rollout_cfg) -> Callable:
     """Jit the autoregressive rollout with spatially-sharded graph inputs.
 
     Returns ``run(variables, graph, feats) -> (errors, fields)`` where
     ``graph`` comes from :func:`shard_graph_spatial` and ``variables`` from
-    :func:`replicate_2d`. XLA partitions the ``lax.scan`` body over the
-    ``space`` axis — band slices crossing shard boundaries become
-    nearest-neighbour collective-permutes on ICI, step scalars stay
-    replicated. Numerics are identical to the single-chip rollout (layout
-    change only).
+    :func:`replicate_2d` — the partitioning is carried entirely by the
+    input shardings (no mesh argument: jit propagates the layouts). XLA
+    partitions the ``lax.scan`` body over the ``space`` axis — band slices
+    crossing shard boundaries become nearest-neighbour collective-permutes
+    on ICI, step scalars stay replicated. Numerics are identical to the
+    single-chip rollout (layout change only).
     """
     from gnn_fluid_dynamics_tpu.rollout.engine import rollout_scan
 

@@ -345,14 +345,20 @@ def test_spmd_rollout_matches_single_device():
     from gnn_fluid_dynamics_tpu.rollout.engine import (RolloutConfig,
                                                        rollout_scan)
 
-    geom = make_geometry("structured", nx=10, ny=6)
+    from gnn_fluid_dynamics_tpu.ops.reorder import rcm_reorder_geometry
+
+    # banded tables + static band slices: the headline claim for the
+    # spatially-sharded rollout is that the (T, 128, B) tile tables and the
+    # band slices partition over 'space', so exercise exactly that path
+    geom = rcm_reorder_geometry(make_geometry("structured", nx=10, ny=6))
     fields = taylor_green_trajectory(geom, num_timesteps=8, dt=0.01)
     ds = MeshDataset([Trajectory(mesh_id="m", geom=geom, fields=fields)],
-                     pad_multiple=32)
+                     pad_multiple=128, with_banded=True)
     model = get_model_class("FvgnA")(
-        ModelConfig(hidden_width=16, mp_num=1),
+        ModelConfig(hidden_width=16, mp_num=1, aggregation="banded"),
         loss_weights=Config().training.loss_weights)
-    graph = ds.get_batch(ds.sample_map[:1])
+    graph = to_static_bands(ds.get_batch(ds.sample_map[:1]))
+    assert graph.hv_onehot is not None
     _, feats = model.transform_rollout(graph)
     acc = StatsAccumulator(model.nmap)
     from gnn_fluid_dynamics_tpu.models.base import feature_masks
@@ -368,7 +374,7 @@ def test_spmd_rollout_matches_single_device():
     mesh = make_mesh_spatial(4)
     g_sp = shard_graph_spatial(graph, mesh)
     v_sp = replicate_2d(variables, mesh)
-    run = make_spmd_rollout(model, mesh, cfg)
+    run = make_spmd_rollout(model, cfg)
     sp_err, sp_fields = run(v_sp, g_sp, feats)
 
     for a, b in zip(jax.tree.leaves(ref_fields), jax.tree.leaves(sp_fields)):
