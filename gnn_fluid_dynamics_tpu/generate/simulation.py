@@ -307,6 +307,12 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     for case in mine:
         t0 = time.time()
+        done_marker = (os.path.join(args.out, case, "fields.npz")
+                       if backend == "builtin"
+                       else os.path.join(args.out, case, "time.log"))
+        if os.path.exists(done_marker):
+            print(f"{case}: already done, skipping")
+            continue
         case_dir = os.path.join(args.meshes, case)
         with open(os.path.join(case_dir, "meta.json")) as f:
             params = json.load(f)
