@@ -307,9 +307,10 @@ def main(argv=None):
     os.makedirs(args.out, exist_ok=True)
     for case in mine:
         t0 = time.time()
-        done_marker = (os.path.join(args.out, case, "fields.npz")
-                       if backend == "builtin"
-                       else os.path.join(args.out, case, "time.log"))
+        # time.log is written last for both backends, after every case
+        # output is complete — a crash mid-case leaves no marker, so resume
+        # redoes the case instead of skipping a partial one (ADVICE r3)
+        done_marker = os.path.join(args.out, case, "time.log")
         if os.path.exists(done_marker):
             print(f"{case}: already done, skipping")
             continue
@@ -330,7 +331,12 @@ def main(argv=None):
                                          spinup_saves=args.spinup)
             out_case = os.path.join(args.out, case)
             os.makedirs(out_case, exist_ok=True)
-            np.savez_compressed(os.path.join(out_case, "fields.npz"), **fields)
+            # np.savez_compressed is not atomic: write to a temp name and
+            # rename so a concurrent/converted reader never sees a partial
+            # zip (the round-3 BadZipFile race, ADVICE r3)
+            tmp = os.path.join(out_case, "fields.tmp.npz")
+            np.savez_compressed(tmp, **fields)
+            os.replace(tmp, os.path.join(out_case, "fields.npz"))
             params["dt_saved"] = params["dt"] * args.save_every
             with open(os.path.join(out_case, "meta.json"), "w") as f:
                 json.dump(params, f, indent=2)

@@ -863,8 +863,7 @@ def _chunk_plan(offsets: tuple, B: int, S: int, max_k: int = 8,
     """
     T = len(offsets)
     off = np.asarray(offsets, np.int64)
-    k = max_k
-    while k >= 2:
+    for k in range(max_k, 1, -1):  # every K in {max_k..2} dividing T
         if T % k == 0:
             co = off.reshape(-1, k).min(axis=1)
             Bk = int(np.max(off.reshape(-1, k) + B - co[:, None]))
@@ -874,7 +873,6 @@ def _chunk_plan(offsets: tuple, B: int, S: int, max_k: int = 8,
                     and Bk <= max(max_band, B)):
                 dl = (off - np.repeat(co, k)).astype(np.int32)
                 return k, int(Bk), co.astype(np.int32), dl
-        k //= 2
     return None
 
 

@@ -94,6 +94,12 @@ def shard_spatial_batch(per_device_graphs: Sequence[MeshGraph],
     every leaf sharded (data, space) on the 2-D mesh. The stack length must
     equal the mesh's ``data`` extent; a leaf whose entity dimension does not
     divide the ``space`` extent stays replicated on that axis."""
+    n_data = mesh.shape["data"]
+    if len(per_device_graphs) != n_data:
+        raise ValueError(
+            f"shard_spatial_batch needs exactly mesh.shape['data']={n_data} "
+            f"graphs, got {len(per_device_graphs)} — a mismatch would "
+            "silently fall back to replication and lose data parallelism")
     stacked = stack_graphs(list(per_device_graphs))
     names = {f.name for f in dataclasses.fields(MeshGraph)}
 
