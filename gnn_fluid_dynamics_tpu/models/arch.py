@@ -580,12 +580,14 @@ class LearnedScaleDenorm(nn.Module):
     z-score inverse (reference ``FvgnJ``, Fvgn.py:1149-1157). FluxD disables
     the biases (constant 0, Flux.py:471-475) — ``learn_bias=False``."""
     channels: int
-    init_scale: float = 1.0
+    init_scale: float = 1.0          # scalar or per-channel tuple (FvgnJ)
     learn_bias: bool = True
 
     @nn.compact
     def __call__(self, x):
-        scale = self.param("scale", nn.initializers.constant(self.init_scale),
+        init = jnp.broadcast_to(jnp.asarray(self.init_scale, jnp.float32),
+                                (self.channels,))
+        scale = self.param("scale", lambda key, shape: init.astype(jnp.float32),
                            (self.channels,))
         if not self.learn_bias:
             return x * scale

@@ -634,28 +634,54 @@ class FvgnI(FvgnA):
 
 
 class _FvgnJModule(nn.Module):
-    """EPD -> learned scale/bias denorm -> normalized integrator
-    (Fvgn.py:1140-1273)."""
+    """EPD -> learned scale/bias denorm -> raw-area physical integrator
+    (Fvgn.py:1164-1273): Phi_A/Phi_P use UN-normalized face areas, Phi_D is a
+    plain 3-face sum, acc = mean(dt)/V * (-Phi_A - Phi_P/rho + nu*Phi_D)."""
     cfg: ArchConfig
     out_size: int = 5
+    rho: float = 1.0
+    nu: float = 1e-3
 
     @nn.compact
     def __call__(self, cell_x, face_x, graph: MeshGraph, train: bool = False):
+        from gnn_fluid_dynamics_tpu.models.arch import gather3
         _, raw = EncodeProcessDecode(self.cfg, face_out=self.out_size)(
             cell_x, face_x, graph, train)
-        # per-channel learned scales replacing output z-score (Fvgn.py:1149-1157)
-        uv = LearnedScaleDenorm(2, init_scale=0.1, name="velocity_scale")(raw[:, 0:2])
-        p = LearnedScaleDenorm(1, init_scale=0.01, name="pressure_scale")(raw[:, 2:3])
-        d = LearnedScaleDenorm(2, init_scale=0.01, name="diffusion_scale")(raw[:, 3:5])
+        # learned per-channel scale/bias replacing output z-score
+        # (Fvgn.py:1149-1157: velocity_scale_x 1.0 / y 0.01 / pressure 1.0 /
+        # diffusion 1.0, all biases 0)
+        uv = LearnedScaleDenorm(2, init_scale=(1.0, 0.01),
+                                name="velocity_scale")(raw[:, 0:2])
+        p = LearnedScaleDenorm(1, init_scale=1.0,
+                               name="pressure_scale")(raw[:, 2:3])
+        d = LearnedScaleDenorm(2, init_scale=1.0,
+                               name="diffusion_scale")(raw[:, 3:5])
         face_out = jnp.concatenate([uv, p, d], axis=-1)
-        acc, extras = FvgnIntegrator(name="integrator")(face_out, graph, train)
-        return acc, face_out, extras
+
+        unv = graph.cell_normal
+        area = graph.face_area.reshape(-1, 1)
+        uu_vu = jnp.concatenate([uv[:, 0:1] * uv, uv[:, 1:2] * uv], axis=-1)
+        g = gather3(jnp.concatenate([area, uu_vu, d, p], axis=1), graph)
+        e, uu, df, pf = (g[..., 0:1], g[..., 1:5].reshape(-1, 3, 2, 2),
+                         g[..., 5:7], g[..., 7:8])
+        phi_a = jnp.sum(jnp.einsum("cfkd,cfd->cfk", uu, unv) * e, axis=1)
+        phi_d = jnp.sum(df, axis=1)
+        phi_p = jnp.sum(pf * unv * e, axis=1)
+        coeff = jnp.mean(graph.dt) / jnp.maximum(
+            graph.cell_volume.reshape(-1, 1), 1e-12)
+        acc = coeff * (-phi_a - phi_p / self.rho + self.nu * phi_d)
+        acc = jnp.where(graph.cell_mask[:, None], acc, 0.0)
+        return acc, face_out, {}
 
 
 class FvgnJ(FvgnA):
     """Learned per-channel output scale/bias instead of output z-score
-    (Fvgn.py:1140-1273): outputs are physical; train-mode loss re-normalizes."""
+    (Fvgn.py:1140-1273): outputs are physical; train-mode loss re-normalizes.
+    Continuity uses the normalized face_x area column like FvgnB
+    (Fvgn.py:1203-1207)."""
     name = "FvgnJ"
+
+    loss = FvgnB.loss
 
     def build_module(self):
         return _FvgnJModule(self.arch, out_size=self.face_out_size)

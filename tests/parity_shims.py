@@ -132,7 +132,10 @@ def make_ref_config(hidden_width: int, mp_num: int, loss_weights: dict,
     """SimpleNamespace mirror of the reference pydantic Config, with just the
     attributes the model classes read."""
     model = types.SimpleNamespace(hidden_width=hidden_width, mp_num=mp_num,
-                                  **model_extra)
+                                  cell_grad_weights_order=None,
+                                  face_grad_weights_order=None)
+    for k, v in model_extra.items():
+        setattr(model, k, v)
     training = types.SimpleNamespace(dropout_rate=0.0,
                                      loss_weights=dict(loss_weights),
                                      noise_std=0.0)
@@ -197,6 +200,12 @@ def to_reference_graphs(graph):
     if graph.cell_grad_weights is not None:
         c_graph.grad_weights = _t(graph.cell_grad_weights)
         c_graph.grad_neighbours = _t(graph.cell_grad_neighbours, torch.long)
+    if graph.reynolds is not None:
+        c_graph.Re = _t(np.broadcast_to(np.asarray(graph.reynolds,
+                                                   np.float32), (1,)).copy())
+    if graph.face_grad_weights is not None:
+        f_graph.grad_weights = _t(graph.face_grad_weights)
+        f_graph.grad_neighbours = _t(graph.face_grad_neighbours, torch.long)
     v_graph = Data(
         pos=_t(graph.vertex_pos),
         edge_index=_t(graph.vertex_edge_index, torch.long),

@@ -48,7 +48,10 @@ GOLDEN = {
     "FvgnF": 4.107755,
     "FvgnH": 3.399202,
     "FvgnI": 3.236795,
-    "FvgnJ": 10.320548,
+    # regenerated when the round-4 parity matrix caught FvgnJ using the
+    # normalized FvgnIntegrator; the reference integrates in raw physical
+    # areas with nu*plain-sum diffusion (Fvgn.py:1239-1273)
+    "FvgnJ": 12.836192,
     "FvgnK": 9.002707,
     "MgnA": 2.639695,
     "MgnB": 2.461878,
