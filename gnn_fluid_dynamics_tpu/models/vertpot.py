@@ -135,20 +135,48 @@ class _VertPotModule(nn.Module):
             phi_p = jnp.sum(pf3 * graph.cell_normal * e, axis=1)
             acc = -phi_a - phi_p + phi_dd
             extras["norm_face_area"] = area
-        elif self.integrator == "physical":
-            # VertPotB.Integrator (VertPot.py:283-319)
+        elif self.integrator == "fluxD":
+            # VertPotD (VertPot.py:447-492): the OWNER-SLOT converted face
+            # flux is spliced into the FluxA integrator input. The vertex
+            # cell flux is not exactly antisymmetric, so the integrator's
+            # signed regather (face_flux_to_cell_flux_vectorized) does NOT
+            # equal the direct per-cell flux — a preserved quirk.
+            from gnn_fluid_dynamics_tpu.models.arch import FluxIntegrator
+            face_flux = fvm.cell_flux_to_face_flux(
+                cell_flux, graph.cell_edge_index, graph.owner_local_slot)
+            face_out = jnp.concatenate(
+                [face_out[:, 0:3], face_flux, face_out[:, 3:5]], axis=1)
+            acc, extras = FluxIntegrator(name="integrator")(face_out, graph,
+                                                            train)
+            return acc, face_out, cell_flux, extras
+        elif self.integrator == "fluxF":
+            # VertPotF (VertPot.py:541-628) — executable only under two
+            # documented shims: the undefined convert_cell_flux_to_face_flux
+            # _alt (owner-slot conversion is the only candidate in the tree,
+            # utils/fvm.py:55) and nu = 1e-3 (the shipped constructor passes
+            # no nu, VertPot.py:580, so self.nu*Phi_D is a TypeError).
+            # The integrator consumes the NETWORK-SPACE outputs with physical
+            # areas/dt/V — the denormalized copy the reference computes is
+            # discarded (VertPot.py:575-577) — and its advective term uses
+            # the owner-slot face flux REGATHERED per cell (sign quirk: the
+            # neighbour cell sees the owner's outward value, VertPot.py:613).
+            face_flux = fvm.cell_flux_to_face_flux(
+                cell_flux, graph.cell_edge_index, graph.owner_local_slot)
+            face_out = jnp.concatenate(
+                [face_out, face_flux.reshape(-1, 1)], axis=1)    # (F, 4)
             grad = fvm.calc_gradient_tensor(face_out[:, 0:2],
                                             graph.face_grad_weights,
                                             graph.face_grad_neighbours)
+            area = graph.face_area.reshape(-1, 1)
             gg = gather3(jnp.concatenate(
-                [graph.face_area.reshape(-1, 1), face_out[:, 0:2], grad,
-                 face_out[:, 2:3]], axis=1), graph)          # (C, 3, 8)
-            area3, uvf = gg[..., 0:1], gg[..., 1:3]
-            phi_a = jnp.sum(uvf * cell_flux[..., None], axis=1)
-            g = gg[..., 3:7].reshape(-1, 3, 2, 2)
+                [area, face_out[:, 0:2], face_out[:, 3:4], grad,
+                 face_out[:, 2:3]], axis=1), graph)              # (C, 3, 9)
+            area3, uvf, phif = gg[..., 0:1], gg[..., 1:3], gg[..., 3:4]
+            phi_a = jnp.sum(uvf * phif, axis=1)
+            g = gg[..., 4:8].reshape(-1, 3, 2, 2)
             phi_d = jnp.sum(jnp.einsum("cfkd,cfd->cfk", g, graph.cell_normal)
                             * area3, axis=1)
-            phi_p = jnp.sum(gg[..., 7:8] * graph.cell_normal * area3, axis=1)
+            phi_p = jnp.sum(gg[..., 8:9] * graph.cell_normal * area3, axis=1)
             coeff = jnp.mean(graph.dt) / jnp.maximum(
                 graph.cell_volume.reshape(-1, 1), 1e-12)
             acc = coeff * (-phi_a - phi_p + 1e-3 * phi_d)
@@ -218,37 +246,67 @@ class VertPotA(FluxA):
 
 
 class VertPotB(VertPotA):
-    """Physical integration + MLS viscous term (VertPot.py:234-319)."""
+    """Physical integration + MLS viscous term (VertPot.py:234-319).
+
+    The reference DENORMALIZES [u_f, v_f, p_f] and the vertex cell flux
+    before its physical integrator (VertPot.py:262-266), re-normalizes only
+    the acceleration for the train-mode loss, and returns the NETWORK-space
+    cell flux and face outputs in train mode (VertPot.py:269-281)."""
 
     name = "VertPotB"
     face_out_size = 3
-    integrator_kind = "physical"
+    integrator_kind = "none"
     face_grad_weights_use = True
+    nu = 1e-3
 
     def forward(self, variables, graph, feats, mode="train", rngs=None):
-        # the physical integrator consumes denormalized quantities; train-mode
-        # acc is re-normalized for the loss while cell_flux stays in network
-        # space (VertPot.py:248-281)
+        from gnn_fluid_dynamics_tpu.models.arch import gather3
         train = mode == "train"
         nfeats = norm.normalize_inputs(feats, self.nmap, self.stats)
-        (acc, face_out, cell_flux, _), updates = self._apply(
+        (_, face_out, cell_flux, _), updates = self._apply(
             variables, nfeats, graph, train, rngs)
+
+        phys = norm.normalize_outputs(
+            {"cell_out": jnp.concatenate(
+                [jnp.zeros((cell_flux.shape[0], 2), cell_flux.dtype),
+                 cell_flux], axis=1),
+             "face_out": face_out}, self.nmap, self.stats, inverse=True)
+        uvp = phys["face_out"]                    # physical [u, v, p]
+        pflux = phys["cell_out"][:, 2:5]          # physical cell flux (C, 3)
+
+        # physical integrator (VertPot.py:283-319): Phi_A = u_f * cell_flux
+        # per local face (no area), MLS viscous term and pressure with areas
+        grad = fvm.calc_gradient_tensor(uvp[:, 0:2], graph.face_grad_weights,
+                                        graph.face_grad_neighbours)
+        area = graph.face_area.reshape(-1, 1)
+        gg = gather3(jnp.concatenate([area, uvp[:, 0:2], grad, uvp[:, 2:3]],
+                                     axis=1), graph)            # (C, 3, 8)
+        area3, uvf = gg[..., 0:1], gg[..., 1:3]
+        phi_a = jnp.sum(uvf * pflux[..., None], axis=1)
+        g = gg[..., 3:7].reshape(-1, 3, 2, 2)
+        phi_d = jnp.sum(jnp.einsum("cfkd,cfd->cfk", g, graph.cell_normal)
+                        * area3, axis=1)
+        phi_p = jnp.sum(gg[..., 7:8] * graph.cell_normal * area3, axis=1)
+        coeff = jnp.mean(graph.dt) / jnp.maximum(
+            graph.cell_volume.reshape(-1, 1), 1e-12)
+        acc = coeff * (-phi_a - phi_p + self.nu * phi_d)
+        acc = jnp.where(graph.cell_mask[:, None], acc, 0.0)
+
         if mode == "rollout":
-            bundle = norm.normalize_outputs(
-                {"cell_out": jnp.concatenate([acc, cell_flux], axis=1),
-                 "face_out": face_out}, self.nmap, self.stats, inverse=True)
+            cvc = acc
+            out_flux, out_face = pflux, uvp
         else:
             nb = norm.normalize_outputs(
                 {"cell_out": jnp.concatenate(
                     [acc, jnp.zeros_like(cell_flux)], axis=1),
                  "face_out": None}, self.nmap, self.stats)
-            bundle = {"cell_out": nb["cell_out"].at[:, 2:5].set(cell_flux),
-                      "face_out": face_out}
+            cvc = nb["cell_out"][:, 0:2]
+            out_flux, out_face = cell_flux, face_out   # network space
         outputs = {
-            "cell_velocity_change": bundle["cell_out"][:, 0:2],
-            "cell_flux": bundle["cell_out"][:, 2:5],
-            "face_velocity": bundle["face_out"][:, 0:2],
-            "face_pressure": bundle["face_out"][:, 2:3],
+            "cell_velocity_change": cvc,
+            "cell_flux": out_flux,
+            "face_velocity": out_face[:, 0:2],
+            "face_pressure": out_face[:, 2:3],
             "_nfeats": nfeats,
         }
         return outputs, updates
@@ -311,32 +369,43 @@ class VertPotC(VertPotA):
 
 
 class VertPotD(VertPotA):
-    """A + owner-converted face flux into the FluxA loss path
-    (VertPot.py:447-492; the reference calls a nonexistent
-    ``convert_cell_flux_to_face_flux_alt`` — the owner-slot conversion is used
-    here)."""
+    """Owner-slot potential face flux through the FluxA integrator and
+    normalizer map (VertPot.py:447-492; the ``_alt`` conversion the reference
+    names is undefined — the owner-slot ``convert_cell_flux_to_face_flux``
+    is the only candidate in its tree). The shipped reference cannot compute
+    its loss (the inherited FluxA.loss KeyErrors on the missing
+    ``cell_flux``); here the FluxA loss runs on the integrator's signed
+    regathered flux as the evident intent."""
 
     name = "VertPotD"
+    integrator_kind = "fluxD"
+
+    def normalisation_map(self) -> norm.NormalizationMap:
+        # the reference inherits FluxA's map (face_out = [u, v, p, phi, D]);
+        # VertPotA's cell_flux remap does not apply
+        return FluxA.normalisation_map(self)
 
     def forward(self, variables, graph, feats, mode="train", rngs=None):
-        outputs, updates = super().forward(variables, graph, feats, mode, rngs)
-        face_flux = fvm.cell_flux_to_face_flux(
-            outputs["cell_flux"], graph.cell_edge_index,
-            graph.owner_local_slot)
-        outputs["face_flux"] = face_flux
+        train = mode == "train"
+        nfeats = norm.normalize_inputs(feats, self.nmap, self.stats)
+        (acc, eo6, _direct_flux, extras), updates = self._apply(
+            variables, nfeats, graph, train, rngs)
+        bundle = {"cell_out": acc, "face_out": eo6}
+        if mode == "rollout":
+            bundle = norm.normalize_outputs(bundle, self.nmap, self.stats,
+                                            inverse=True)
+        outputs = {
+            "cell_velocity_change": bundle["cell_out"][:, 0:2],
+            "face_velocity": bundle["face_out"][:, 0:2],
+            "face_pressure": bundle["face_out"][:, 2:3],
+            "face_flux": bundle["face_out"][:, 3:4],
+            "cell_flux": extras["cell_flux"],
+            "_nfeats": nfeats,
+            **{f"_{k}": v for k, v in extras.items()},
+        }
         return outputs, updates
 
-    def loss(self, outputs, feats, graph):
-        losses = super().loss(outputs, feats, graph)
-        fmask = graph.face_mask
-        nfeats = outputs["_nfeats"]
-        flux_loss = mse_per_element(outputs["face_flux"],
-                                    nfeats["face_y"][:, 3:4], fmask)
-        w = self.loss_weights.get("face_flux", 0.0)
-        losses["face_flux_loss"] = flux_loss
-        losses["total_log_loss"] = jnp.log(
-            jnp.exp(losses["total_log_loss"]) + w * flux_loss)
-        return losses
+    loss = FluxA.loss
 
 
 class VertPotE(FluxC):
@@ -376,23 +445,64 @@ class VertPotE(FluxC):
 
 
 class VertPotF(VertPotA):
-    """Physical integration of the potential flux (VertPot.py:541-628)."""
+    """Physical integration of the owner-slot potential face flux
+    (VertPot.py:541-628). The shipped reference variant is triple-dead code
+    (undefined ``_alt`` conversion, ``nu=None`` TypeError, and the inherited
+    FluxA.loss KeyErrors on the missing ``cell_flux``); this implements its
+    semantics under the documented shims (see the ``fluxF`` integrator) with
+    a FluxA-style loss on the signed cell flux as the evident intent."""
     name = "VertPotF"
     face_out_size = 3
-    integrator_kind = "physical"
+    integrator_kind = "fluxF"
     face_grad_weights_use = True
+
+    def normalisation_map(self) -> norm.NormalizationMap:
+        # the reference inherits FluxA's map unchanged (face_out =
+        # [u, v, p, phi]); VertPotA's cell_flux remap does not apply
+        return FluxA.normalisation_map(self)
+
+    def forward(self, variables, graph, feats, mode="train", rngs=None):
+        train = mode == "train"
+        nfeats = norm.normalize_inputs(feats, self.nmap, self.stats)
+        (acc, eo4, _cell_flux, _), updates = self._apply(
+            variables, nfeats, graph, train, rngs)
+        if mode != "rollout":
+            # train: only the acceleration is normalized for the loss; the
+            # face outputs stay in network space (VertPot.py:583-585)
+            acc = norm.normalize_outputs(
+                {"cell_out": acc, "face_out": None}, self.nmap,
+                self.stats)["cell_out"]
+        # rollout quirk: acc leaves physical-raw and the face outputs are
+        # NEVER denormalized (VertPot.py:586-592)
+        cell_flux = fvm.face_flux_to_cell_flux_g(eo4[:, 3:4], graph)
+        outputs = {
+            "cell_velocity_change": acc[:, 0:2],
+            "face_velocity": eo4[:, 0:2],
+            "face_pressure": eo4[:, 2:3],
+            "face_flux": eo4[:, 3:4],
+            "cell_flux": cell_flux[..., 0],
+            "_nfeats": nfeats,
+        }
+        return outputs, updates
+
+    loss = FluxA.loss
 
 
 class VertPotG(VertPotA):
-    """Loss on face flux converted from cell flux (VertPot.py:631-818)."""
+    """Loss on face flux converted from cell flux (VertPot.py:631-818).
+
+    The conversion is the reference's last-write-wins scatter
+    (geometry.py:539-570) applied AFTER output normalization, so in train
+    mode the converted flux carries the z-score mean shift with the
+    larger-indexed cell's orientation — a preserved quirk distinct from the
+    owner-slot conversion."""
 
     name = "VertPotG"
 
     def forward(self, variables, graph, feats, mode="train", rngs=None):
         outputs, updates = super().forward(variables, graph, feats, mode, rngs)
-        outputs["face_flux"] = fvm.cell_flux_to_face_flux(
-            outputs["cell_flux"], graph.cell_edge_index,
-            graph.owner_local_slot)
+        outputs["face_flux"] = fvm.cell_flux_to_face_flux_lastwrite(
+            outputs["cell_flux"], graph.cell_edge_index, graph.face_index)
         return outputs, updates
 
     def loss(self, outputs, feats, graph):

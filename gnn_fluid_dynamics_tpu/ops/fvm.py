@@ -115,6 +115,36 @@ def cell_flux_to_face_flux(cell_flux: jax.Array, cell_edge_index: jax.Array,
     return cf[owners, owner_local_slot][:, None]
 
 
+def cell_flux_to_face_flux_lastwrite(cell_flux: jax.Array,
+                                     cell_edge_index: jax.Array,
+                                     face_index: jax.Array) -> jax.Array:
+    """Exact replica of the reference ``geometry.cell_flux_to_face_flux``
+    (geometry.py:539-570) including its index-pairing bug: the write targets
+    come from ``cell_faces.flatten()`` (slot-major: ``face_index[k // C,
+    k % C]``) while the written values and the owner test use
+    cell-major pairing (``cell_flux[k // 3, k % 3]``, ``cell == k // 3``), so
+    value, sign, and destination belong to three DIFFERENT (cell, slot)
+    pairs; duplicate writes resolve last-write-wins (torch scatter
+    assignment). VertPotG feeds its converted flux through this
+    (VertPot.py:679), so faithful parity requires reproducing it verbatim.
+
+    cell_flux: (C, 3) or (C, 3, 1) -> (F, 1).
+    """
+    cf = cell_flux.reshape(cell_flux.shape[0], 3)
+    C = cf.shape[0]
+    F = cell_edge_index.shape[1]
+    k = jnp.arange(3 * C)
+    dest = face_index[k // C, k % C]          # slot-major flatten
+    vals = cf.reshape(-1)                     # cell-major: cf[k//3, k%3]
+    owner_of_dest = cell_edge_index[0][dest]
+    sign = jnp.where(owner_of_dest == (k // 3), 1.0, -1.0)
+    corrected = vals * sign
+    # torch duplicate-index assignment keeps the LAST write in k-order
+    kwin = jax.ops.segment_max(k, dest, num_segments=F)
+    kwin = jnp.clip(kwin, 0, 3 * C - 1)       # faces never written: junk row
+    return corrected[kwin][:, None]
+
+
 def calc_gradient_tensor(value: jax.Array, weights: jax.Array,
                          neighbours: jax.Array) -> jax.Array:
     """MLS velocity-gradient tensor at faces (reference

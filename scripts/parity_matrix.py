@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Run the full executed-reference parity matrix and write the committed
+artifact: ``runs/parity/matrix.json`` + a human table in ``PARITY.md``.
+
+Each row EXECUTES the PyTorch reference class of the same name from
+``/root/reference/src`` (third-party APIs shimmed, tests/parity_shims.py),
+transplants the JAX model's weights, and compares every loss component and
+every shared physical output on an identical unpadded mesh.
+
+Usage:  JAX_PLATFORMS=cpu python scripts/parity_matrix.py [--only Fvgn]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+NOTES = {
+    "FluxB": "reference omits continuity from its returned dict "
+             "(Flux.py:278) though it is inside the compared total",
+    "VertPotD": "reference calls nonexistent "
+                "fvm.convert_cell_flux_to_face_flux_alt (VertPot.py:477) — "
+                "aliased to the owner-slot convert_cell_flux_to_face_flux "
+                "so the variant can execute",
+    "VertPotF": "same _alt alias (VertPot.py:572); reference constructs its "
+                "Integrator without nu (VertPot.py:580) so self.nu*Phi_D is "
+                "a TypeError as shipped — nu patched to 1e-3 (VertPotB's "
+                "value) to make the reference executable",
+}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--only", default="", help="substring filter")
+    ap.add_argument("--out", default="runs/parity")
+    args = ap.parse_args()
+
+    from test_parity_matrix import SPECS, run_variant
+
+    os.makedirs(args.out, exist_ok=True)
+    records = []
+    for name in sorted(SPECS):
+        if args.only and args.only not in name:
+            continue
+        t0 = time.time()
+        try:
+            rec = run_variant(name)
+        except Exception as e:     # noqa: BLE001 — record and continue
+            rec = {"variant": name, "status": "FAIL",
+                   "error": f"{type(e).__name__}: {e}",
+                   "trace": traceback.format_exc(limit=5)}
+        rec["seconds"] = round(time.time() - t0, 1)
+        if name in NOTES:
+            rec["note"] = NOTES[name]
+        records.append(rec)
+        print(f"{name:16s} {rec['status']:6s} {rec['seconds']:6.1f}s",
+              flush=True)
+
+    with open(os.path.join(args.out, "matrix.json"), "w") as f:
+        json.dump({"rows": records}, f, indent=1)
+
+    # PARITY.md table
+    lines = [
+        "# Executed-reference parity matrix",
+        "",
+        "Every registered variant, run against the PyTorch reference class "
+        "of the same name *executed live* from `/root/reference/src` "
+        "(`tests/test_parity_matrix.py`; regenerate with "
+        "`JAX_PLATFORMS=cpu python scripts/parity_matrix.py`).",
+        "",
+        "`max rel` columns: worst relative mismatch across all compared "
+        "loss components / physical output tensors (float32 forward on an "
+        "identical unpadded ~220-point mesh, transplanted weights).",
+        "",
+        "| variant | status | max rel (losses) | max rel (outputs) | note |",
+        "|---|---|---|---|---|",
+    ]
+    for r in records:
+        if r["status"] == "ok":
+            losses = r["losses"] if isinstance(r["losses"], dict) else {}
+            lmax = max((v for v in losses.values()
+                        if isinstance(v, float)), default=0.0)
+            omax = max((v for v in r["outputs"].values()
+                        if isinstance(v, float)), default=0.0)
+            lines.append(f"| {r['variant']} | ok | {lmax:.2e} | {omax:.2e} "
+                         f"| {r.get('note', '')} |")
+        else:
+            lines.append(f"| {r['variant']} | **{r['status']}** | — | — "
+                         f"| {r.get('error', r.get('note', ''))} |")
+    lines.append("")
+    with open("PARITY.md", "w") as f:
+        f.write("\n".join(lines))
+    n_ok = sum(r["status"] == "ok" for r in records)
+    print(f"\n{n_ok}/{len(records)} variants at parity; "
+          f"wrote {args.out}/matrix.json and PARITY.md")
+
+
+if __name__ == "__main__":
+    main()

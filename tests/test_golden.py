@@ -61,12 +61,17 @@ GOLDEN = {
     "StreamFuncC": 2.238754,
     "StreamFuncD": 2.087780,
     "VertPotA": 3.458636,
-    "VertPotB": 16.832933,
+    # VertPotB/D/F/G regenerated after the round-4 executed-reference
+    # parity matrix corrected their integrator/conversion semantics
+    # (denormalize-before-integrate for B, FluxA-integrator splice for
+    # D, fluxF shimmed semantics for F, scrambled last-write conversion
+    # for G — see models/vertpot.py docstrings)
+    "VertPotB": 12.221903,
     "VertPotC": 3.996113,
-    "VertPotD": 3.557076,
+    "VertPotD": 3.574008,
     "VertPotE": 4.836900,
-    "VertPotF": 2.681307,
-    "VertPotG": 3.585634,
+    "VertPotF": 17.410337,
+    "VertPotG": 3.578228,
 }
 
 

@@ -148,7 +148,8 @@ class Spec:
 
     def __init__(self, loss_weights, transplant, *, jax_cfg=None, ref_cfg=None,
                  build=None, post_transform=None, rtol=5e-4, atol=2e-5,
-                 out_rtol=5e-4, out_atol=5e-5):
+                 out_rtol=5e-4, out_atol=5e-5, skip_loss=(),
+                 compare_loss=True, fix_ref=None):
         self.loss_weights = loss_weights
         self.transplant = transplant
         self.jax_cfg = jax_cfg or {}
@@ -157,6 +158,17 @@ class Spec:
         self.post_transform = post_transform
         self.rtol, self.atol = rtol, atol
         self.out_rtol, self.out_atol = out_rtol, out_atol
+        # loss keys my side reports that the reference computes but leaves
+        # out of its return dict (e.g. FluxB's commented-out continuity,
+        # Flux.py:278) — still inside both totals, so parity holds there
+        self.skip_loss = frozenset(skip_loss)
+        # compare_loss=False: the reference variant's loss is dead code
+        # (VertPotD/F raise KeyError/TypeError as shipped) — forward-output
+        # parity is the strongest executable check
+        self.compare_loss = compare_loss
+        # post-construction patch making an otherwise-unexecutable reference
+        # variant runnable (documented per-variant in scripts/parity_matrix)
+        self.fix_ref = fix_ref
 
 
 def t_epd(params, ref, *, decoder_key="decoder_face", integ_bn=True):
@@ -197,6 +209,152 @@ def retarget_pushforward(graphs):
     return graphs
 
 
+# The reference's VertPotD/F call fvm.convert_cell_flux_to_face_flux_alt,
+# which does not exist anywhere in the reference tree (AttributeError at
+# runtime — the variants are unrunnable as shipped). The only available
+# conversion semantic is the owner-slot convert_cell_flux_to_face_flux
+# (utils/fvm.py:55); alias it so the rest of those variants can execute.
+import utils.fvm as ref_fvm                                    # noqa: E402
+
+if not hasattr(ref_fvm, "convert_cell_flux_to_face_flux_alt"):
+    ref_fvm.convert_cell_flux_to_face_flux_alt = \
+        ref_fvm.convert_cell_flux_to_face_flux
+
+
+def t_mgn(p, r):
+    copy_epd_weights(p["EncodeProcessDecode_0"], r, MP,
+                     jax_decoder_key="decoder_cell")
+
+
+def t_fluxa(p, r):
+    copy_epd_weights(p["EncodeProcessDecode_0"], r, MP)
+    copy_batchnorm(p["integrator"]["face_area_norm"]["MaskedBatchNorm_0"]
+                   ["BatchNorm_0"], r.integrator.face_area_norm)
+    copy_batchnorm(p["integrator"]["vol_dt_norm"]["MaskedBatchNorm_0"]
+                   ["BatchNorm_0"], r.integrator.vol_dt_norm)
+
+
+def t_fluxc(p, r):
+    copy_epd_weights(p["EncodeProcessDecode_0"], r, MP)
+    copy_batchnorm(p["face_area_norm"]["MaskedBatchNorm_0"]["BatchNorm_0"],
+                   r.integrator.face_area_norm)
+
+
+def t_fluxd(p, r):
+    copy_epd_weights(p["EncodeProcessDecode_0"], r, MP)
+    copy_scalar_params(p, r, ["velocity_scale_x", "velocity_scale_y",
+                              "pressure_scale", "flux_scale",
+                              "diffusion_scale"])
+
+
+def t_consa(p, r):
+    copy_conservative_weights(p, r, MP)
+    copy_batchnorm(p["integrator"]["face_area_norm"]["MaskedBatchNorm_0"]
+                   ["BatchNorm_0"], r.integrator.face_area_norm)
+
+
+def t_consb(p, r):
+    enc = p["_ConsEncoder_0"]
+    _copy_mlp(enc["faceS_mlp"], r.encoder.faceS_mlp, True)
+    _copy_antisym_mlp(enc["faceA_mlp"], r.encoder.faceA_mlp)
+    _copy_mlp(enc["cell_mlp"], r.encoder.cell_mlp, True)
+    for i in range(MP):
+        blk = p[f"_ConsABlock_{i}"]
+        _copy_mlp(blk["face_mlp"], r.processer_list[i].face_block.face_mlp,
+                  True)
+        _copy_mlp(blk["cell_mlp"], r.processer_list[i].cell_block.cell_mlp,
+                  True)
+    _copy_mlp(p["decoder_cell"], r.decoder.node_mlp, False)
+
+
+def t_consd(p, r):
+    enc = p["_ConsEncoder_0"]
+    _copy_mlp(enc["faceS_mlp"], r.encoder.faceS_mlp, True)
+    _copy_antisym_mlp(enc["faceA_mlp"], r.encoder.faceA_mlp)
+    _copy_mlp(enc["cell_mlp"], r.encoder.cell_mlp, True)
+    for i in range(MP):
+        blk = p[f"_ConsDBlock_{i}"]
+        rb = r.processer_list[i]
+        _copy_mlp(blk["face_symm"], rb.face_block_symm.face_mlp, True)
+        _copy_antisym_mlp(blk["face_asym"], rb.face_block_asym.face_mlp)
+        _copy_mlp(blk["cell_mlp"], rb.cell_block.cell_mlp, True)
+    _copy_mlp(p["symm_mlp"], r.decoder.symm_mlp, False)
+    _copy_antisym_mlp(p["asym_mlp"], r.decoder.asym_mlp)
+    _copy_antisym_mlp(p["decoder_face"], r.decoder.final_mlp)
+    copy_batchnorm(p["integrator"]["face_area_norm"]["MaskedBatchNorm_0"]
+                   ["BatchNorm_0"], r.integrator.face_area_norm)
+
+
+def t_cons_std(block_prefix):
+    """ConsE/F/G/I: FvgnA-style encoder/decoder around custom blocks whose
+    params live directly under the block module (face_mlp/cell_mlp)."""
+    def _t(p, r):
+        enc = p["Encoder_0"]
+        _copy_mlp(enc["face_mlp"], r.encoder.face_mlp, True)
+        _copy_mlp(enc["cell_mlp"], r.encoder.cell_mlp, True)
+        for i in range(MP):
+            blk = p[f"{block_prefix}_{i}"]
+            _copy_mlp(blk["face_mlp"], r.processer_list[i].face_block.face_mlp,
+                      True)
+            _copy_mlp(blk["cell_mlp"], r.processer_list[i].cell_block.cell_mlp,
+                      True)
+        _copy_mlp(p["decoder_face"], r.decoder.face_mlp, False)
+        copy_batchnorm(p["integrator"]["face_area_norm"]["MaskedBatchNorm_0"]
+                       ["BatchNorm_0"], r.integrator.face_area_norm)
+    return _t
+
+
+def t_consh(p, r, integ_bn=True):
+    _copy_mlp(p["faceS_mlp"], r.encoder.faceS_mlp, True)
+    _copy_antisym_mlp(p["faceA_mlp"], r.encoder.faceA_mlp)
+    _copy_mlp(p["cell_mlp"], r.encoder.cell_mlp, True)
+    for i in range(MP):
+        blk = p[f"_ConsHBlock_{i}"]
+        rb = r.processer_list[i]
+        _copy_mlp(blk["face_symm"], rb.face_block_symm.face_mlp, True)
+        _copy_antisym_mlp(blk["face_asym"], rb.face_block_asym.face_mlp)
+        _copy_mlp(blk["cell_mlp"], rb.cell_block.cell_mlp, True)
+    _copy_mlp(p["decoder"]["even_mlp"], r.decoder.even_mlp, False)
+    _copy_antisym_mlp(p["decoder"]["odd_mlp"], r.decoder.odd_mlp)
+    if integ_bn:
+        copy_batchnorm(p["integrator"]["face_area_norm"]["MaskedBatchNorm_0"]
+                       ["BatchNorm_0"], r.integrator.face_area_norm)
+
+
+def t_consj(p, r):
+    t_consh(p, r, integ_bn=False)
+    with torch.no_grad():
+        for jname, rs, rb in (("velocity_scale_x", "velocity_scale_x",
+                               "velocity_bias_x"),
+                              ("velocity_scale_y", "velocity_scale_y",
+                               "velocity_bias_y"),
+                              ("pressure_scale", "pressure_scale",
+                               "pressure_bias")):
+            getattr(r, rs).copy_(torch.tensor(
+                float(np.asarray(p[jname]["scale"]).reshape(()))))
+            getattr(r, rb).copy_(torch.tensor(
+                float(np.asarray(p[jname]["bias"]).reshape(()))))
+        r.diffusion_scale.copy_(torch.tensor(
+            float(np.asarray(p["diffusion_scale"]).reshape(()))))
+
+
+def t_vertpot(bns=("face_area_norm", "vol_dt_norm")):
+    def _t(p, r):
+        copy_vertpot_weights(p, r, MP)
+        for bn in bns:
+            copy_batchnorm(p[bn]["MaskedBatchNorm_0"]["BatchNorm_0"],
+                           getattr(r.integrator, bn))
+    return _t
+
+
+def t_vertpot_d(p, r):
+    """VertPotD: the BNs live under the module's FluxIntegrator."""
+    copy_vertpot_weights(p, r, MP)
+    for bn in ("face_area_norm", "vol_dt_norm"):
+        copy_batchnorm(p["integrator"][bn]["MaskedBatchNorm_0"]["BatchNorm_0"],
+                       getattr(r.integrator, bn))
+
+
 SPECS = {
     "FvgnA": Spec(LW_FVGN, t_epd),
     "FvgnB": Spec(LW_FVGN, lambda p, r: t_epd(p, r, integ_bn=False),
@@ -212,6 +370,63 @@ SPECS = {
     # rel tolerance reflects magnitude, not a numerical-contract difference
     "FvgnJ": Spec(LW_FVGN, t_fvgnj, out_rtol=3e-3, out_atol=2e-4),
     "FvgnK": Spec(LW_FVGN, t_fvgnk),
+
+    "MgnA": Spec(LW_MGN, t_mgn, build={"cell_gw": 1},
+                 ref_cfg={"cell_grad_weights_order": 1}),
+    "MgnB": Spec(LW_MGNB, t_mgn, build={"cell_gw": 1},
+                 ref_cfg={"cell_grad_weights_order": 1}),
+    "MgnC": Spec(LW_MGNB, t_mgn, build={"cell_gw": 1},
+                 ref_cfg={"cell_grad_weights_order": 1}),
+
+    "FluxA": Spec(LW_FLUX, t_fluxa),
+    "FluxB": Spec(LW_FLUX, t_epd, skip_loss={"continuity_loss"}),
+    "FluxC": Spec(LW_FLUX, t_fluxc),
+    "FluxD": Spec(LW_FLUX, t_fluxd),
+
+    "ConservativeA": Spec(LW_FVGN, t_consa),
+    "ConservativeB": Spec(LW_MGN, t_consb),
+    "ConservativeD": Spec(LW_FVGN, t_consd),
+    "ConservativeE": Spec(LW_FVGN, t_cons_std("_ConsEBlock")),
+    "ConservativeF": Spec(LW_FVGN, t_cons_std("_ConsFBlock")),
+    "ConservativeG": Spec(LW_FVGN, t_cons_std("_ConsGBlock")),
+    "ConservativeH": Spec(LW_FVGN, t_consh),
+    "ConservativeI": Spec(LW_FVGN, t_cons_std("_ConsIBlock")),
+    "ConservativeJ": Spec(LW_FVGN, t_consj, out_rtol=3e-3, out_atol=2e-4),
+    "ConservativeK": Spec(LW_FVGN, t_consh),
+
+    "VertPotA": Spec(LW_FVGN, t_vertpot()),
+    "VertPotB": Spec(LW_FVGN, t_vertpot(bns=()), build={"face_gw": 2},
+                     ref_cfg={"face_grad_weights_order": 2},
+                     out_rtol=3e-3, out_atol=2e-4),
+    "VertPotC": Spec(LW_FVGN, t_vertpot(bns=("face_area_norm",))),
+    # VertPotD as shipped cannot compute its loss: forward returns no
+    # cell_flux, the inherited FluxA.loss KeyErrors (VertPot.py:447-492,
+    # Flux.py:123). Forward parity (incl. the owner-slot face_flux under
+    # the _alt alias) is the strongest executable check.
+    "VertPotD": Spec(LW_FLUX, t_vertpot_d, compare_loss=False),
+    "VertPotE": Spec(LW_FLUX, t_vertpot(bns=("face_area_norm",))),
+    # VertPotF as shipped is triple-dead (undefined _alt conversion, nu=None
+    # TypeError in the integrator, KeyError in the inherited loss); with the
+    # _alt alias + nu=1e-3 patch its forward executes for comparison
+    "VertPotF": Spec(LW_FLUX, t_vertpot(bns=()), build={"face_gw": 2},
+                     ref_cfg={"face_grad_weights_order": 2},
+                     compare_loss=False,
+                     fix_ref=lambda r: setattr(r.integrator, "nu", 1e-3),
+                     out_rtol=3e-3, out_atol=2e-4),
+    # reference omits face_flux_loss from its return dict (VertPot.py:766-773)
+    "VertPotG": Spec(LW_FLUX, t_vertpot(), skip_loss={"face_flux_loss"}),
+
+    "StreamFuncA": Spec(LW_SF, t_mgn, build={"cell_gw": 1},
+                        ref_cfg={"cell_grad_weights_order": 1}),
+    "StreamFuncB": Spec(LW_SF, t_mgn, build={"cell_gw": 1},
+                        ref_cfg={"cell_grad_weights_order": 1}),
+    "StreamFuncC": Spec(LW_SF, t_mgn, build={"cell_gw": 1},
+                        ref_cfg={"cell_grad_weights_order": 1}),
+    # the smoothness regularizer sits inside the compared total but the
+    # reference leaves it out of its return dict (StreamFunc.py:270-275)
+    "StreamFuncD": Spec(LW_SF, t_mgn, build={"cell_gw": 1},
+                        ref_cfg={"cell_grad_weights_order": 1},
+                        skip_loss={"potential_smoothness_loss"}),
 }
 
 
@@ -236,6 +451,8 @@ def run_variant(name):
     ref = ref_cls(cfg, MSE_per_element_torch, dataset,
                   stats_to_python(raw_stats))
     spec.transplant(variables["params"], ref)
+    if spec.fix_ref is not None:
+        spec.fix_ref(ref)
     ref.train()
 
     graphs = to_reference_graphs(tgraph)
@@ -245,7 +462,7 @@ def run_variant(name):
 
     with torch.no_grad():
         ref_out = ref(graphs, mode="train")
-        ref_losses = ref.loss(ref_out, graphs)
+        ref_losses = ref.loss(ref_out, graphs) if spec.compare_loss else {}
 
     record = {"variant": name, "outputs": {}, "losses": {}, "status": "ok"}
 
@@ -265,8 +482,15 @@ def run_variant(name):
         np.testing.assert_allclose(jarr, rarr, rtol=spec.out_rtol,
                                    atol=spec.out_atol, err_msg=f"output {key}")
 
+    if not spec.compare_loss:
+        record["losses"] = "reference loss is dead code (see note)"
+        return record
+
     # every loss component the JAX side produces must exist and match
     for key, jval in jax_losses.items():
+        if key in spec.skip_loss:
+            record["losses"][key] = "ref-omits"
+            continue
         assert key in ref_losses, f"reference missing loss {key}"
         rv = float(ref_losses[key])
         jv = float(jval)
