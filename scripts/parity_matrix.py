@@ -20,6 +20,15 @@ import traceback
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tests"))
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+# honor JAX_PLATFORMS even when a sitecustomize forces the platform at
+# config level (same workaround as __graft_entry__.py) — without this the
+# comparison silently runs on the TPU backend and bf16-level drift vs the
+# torch-CPU reference fails every row
+import jax  # noqa: E402
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 NOTES = {
     "FluxB": "reference omits continuity from its returned dict "
              "(Flux.py:278) though it is inside the compared total",
