@@ -51,7 +51,7 @@ GOLDEN = {
     # regenerated when the round-4 parity matrix caught FvgnJ using the
     # normalized FvgnIntegrator; the reference integrates in raw physical
     # areas with nu*plain-sum diffusion (Fvgn.py:1239-1273)
-    "FvgnJ": 12.836192,
+    "FvgnJ": 12.846555,
     "FvgnK": 9.002707,
     "MgnA": 2.639695,
     "MgnB": 2.461878,
@@ -66,12 +66,12 @@ GOLDEN = {
     # (denormalize-before-integrate for B, FluxA-integrator splice for
     # D, fluxF shimmed semantics for F, scrambled last-write conversion
     # for G — see models/vertpot.py docstrings)
-    "VertPotB": 12.221903,
+    "VertPotB": 12.229054,
     "VertPotC": 3.996113,
-    "VertPotD": 3.574008,
+    "VertPotD": 3.574603,
     "VertPotE": 4.836900,
-    "VertPotF": 17.410337,
-    "VertPotG": 3.578228,
+    "VertPotF": 17.416739,
+    "VertPotG": 3.579032,
 }
 
 
