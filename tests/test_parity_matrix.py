@@ -504,3 +504,23 @@ def run_variant(name):
 @pytest.mark.parametrize("name", sorted(SPECS))
 def test_variant_parity(name):
     run_variant(name)
+
+
+def test_lastwrite_conversion_matches_reference_verbatim():
+    """fvm.cell_flux_to_face_flux_lastwrite replicates the reference
+    ``geometry.cell_flux_to_face_flux`` (geometry.py:539-570) bit-for-bit on
+    arbitrary (non-antisymmetric) cell flux — including the scrambled
+    slot-major/cell-major index pairing and last-write-wins duplicate
+    resolution that VertPotG's output path depends on."""
+    import utils.geometry as ref_geom
+    from gnn_fluid_dynamics_tpu.ops import fvm as myfvm
+
+    ds, model, graph, _, _ = build_jax("VertPotA", LW_FVGN)
+    rng = np.random.default_rng(0)
+    cf = rng.normal(size=(int(graph.num_cells), 3)).astype(np.float32)
+    mine = np.asarray(myfvm.cell_flux_to_face_flux_lastwrite(
+        jnp.asarray(cf), graph.cell_edge_index, graph.face_index))
+    ref = ref_geom.cell_flux_to_face_flux(
+        torch.from_numpy(cf), _t(graph.cell_edge_index, torch.long),
+        _t(graph.face_index, torch.long)).numpy()
+    np.testing.assert_allclose(mine, ref, rtol=0, atol=0)
