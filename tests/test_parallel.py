@@ -4,6 +4,7 @@ keep replicas in sync, and match the single-device step numerically."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from gnn_fluid_dynamics_tpu.data.pipeline import MeshDataset, Trajectory
 from gnn_fluid_dynamics_tpu.data.synthetic import (make_geometry,
@@ -268,6 +269,16 @@ def test_spmd_step_runs_2x4():
     assert np.isfinite(float(losses["total_log_loss"]))
     assert all(np.all(np.isfinite(np.asarray(x)))
                for x in jax.tree.leaves(state.params))
+
+
+def test_spmd_rejects_mismatched_stack_length():
+    """A batch whose stack length mismatches the mesh data extent must fail
+    loudly instead of silently replicating (ADVICE r3)."""
+    from gnn_fluid_dynamics_tpu.parallel import make_mesh_2d, shard_spatial_batch
+    ds, cfg, model, g0, feats = setup()
+    mesh = make_mesh_2d(2, 4)
+    with pytest.raises(ValueError, match="mesh.shape"):
+        shard_spatial_batch([ds.get_batch([("mesh_0", 0)])], mesh)
 
 
 def test_spmd_matches_single_device_gradients():
