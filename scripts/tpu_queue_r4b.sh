@@ -3,8 +3,10 @@
 # automatically the moment the main evidence queue finishes (and can never
 # run concurrently with it — the round-3 failure mode). Continues flagship
 # training to the configured 30 epochs (the stage-1 deadline usually lands
-# ~e24, before the final LR decay), then re-runs the 676-step rollout with
-# the improved best checkpoint and the final bench.
+# ~e24, before the final LR decay), then evaluates BOTH the best-valid and
+# the latest checkpoint at the 676-step reference horizon and promotes the
+# better one to rollouts/e2e/rollout-cyl-r4 (the trainer's short-horizon
+# valid metric does not always rank long-rollout quality).
 #
 #   nohup scripts/tpu_queue_r4b.sh > /dev/null 2>&1 &
 set -u
@@ -28,21 +30,55 @@ if [ ! -e runs/e2e/.flagship_r4b_done ]; then
     { [ $rc -eq 0 ] || [ $rc -eq 4 ]; } && touch runs/e2e/.flagship_r4b_done
 fi
 
-# 2. re-run the reference-horizon rollout with the improved best checkpoint
-#    (keep the stint-1 artifact for provenance)
+# 2. keep the stint-1 artifact for provenance
 if [ -e rollouts/e2e/rollout-cyl-r4/errors.json ] \
    && [ ! -d rollouts/e2e/rollout-cyl-r4-stint1 ]; then
     mv rollouts/e2e/rollout-cyl-r4 rollouts/e2e/rollout-cyl-r4-stint1
 fi
-if [ -e checkpoints/e2e/fluxd-r3/best.json ] \
-   && [ ! -e rollouts/e2e/rollout-cyl-r4/errors.json ]; then
-    PYTHONUNBUFFERED=1 python -m gnn_fluid_dynamics_tpu.rollout.run \
-        --config config/e2e/rollout-cyl-r4.json \
-        --output rollout-cyl-r4 > runs/e2e/rollout-cyl-r4.log 2>&1
-    rc=$?
-    note "flagship rollout (stint2) exit=$rc"
-fi
 
-# 3. final recorded bench
+# 3. roll out BOTH candidate checkpoints at the reference horizon
+for cand in best latest; do
+    cfg=config/e2e/rollout-cyl-r4.json
+    [ "$cand" = latest ] && cfg=config/e2e/rollout-cyl-r4-latest.json
+    out="rollout-cyl-r4-$cand"
+    if [ ! -e "rollouts/e2e/$out/errors.json" ]; then
+        PYTHONUNBUFFERED=1 python -m gnn_fluid_dynamics_tpu.rollout.run \
+            --config "$cfg" --output "$out" \
+            > "runs/e2e/$out.log" 2>&1
+        note "rollout $cand exit=$?"
+    fi
+done
+
+# 4. promote the better candidate (velocity + pressure mean_all) to the
+#    final artifact name; record the decision in the log
+python - >> "$LOG" 2>&1 <<'EOF'
+import json, os, shutil
+
+def score(path):
+    d = json.load(open(path))["scalar"]
+    return (d["velocity_error"]["mean_all"] + d["pressure_error"]["mean_all"])
+
+cands = {}
+for cand in ("best", "latest"):
+    p = f"rollouts/e2e/rollout-cyl-r4-{cand}/errors.json"
+    if os.path.exists(p):
+        cands[cand] = score(p)
+print("candidate scores (velocity+pressure mean_all):", cands)
+if cands:
+    winner = min(cands, key=cands.get)
+    src = f"rollouts/e2e/rollout-cyl-r4-{winner}"
+    if os.path.exists("rollouts/e2e/rollout-cyl-r4"):
+        shutil.rmtree("rollouts/e2e/rollout-cyl-r4")
+    shutil.copytree(src, "rollouts/e2e/rollout-cyl-r4")
+    meta = "rollouts/e2e/rollout-cyl-r4/meta.json"
+    m = json.load(open(meta)) if os.path.exists(meta) else {}
+    m["promoted_from"] = winner
+    m["candidate_scores"] = cands
+    json.dump(m, open(meta, "w"), indent=1)
+    print("promoted", winner)
+EOF
+note "promotion done"
+
+# 5. final recorded bench
 python bench.py > runs/perf/bench-r4b.json 2> runs/perf/bench-r4b.log
 note "queue-r4b done"
