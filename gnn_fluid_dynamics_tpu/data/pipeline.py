@@ -345,6 +345,53 @@ class MeshDataset:
         stack = {key: jnp.asarray(np.stack(v)) for key, v in per_key.items()}
         return g, stack
 
+    # ---- device-resident trajectory fields ----------------------------------
+    def estimate_device_field_bytes(self) -> int:
+        """Total bytes the full dataset's trajectory fields occupy when
+        device-resident (padded, f32) — the budget check for the
+        indexed training path."""
+        total = 0
+        for t in self.trajectories:
+            pad = self.bucket_pad[self.bucket_of[t.mesh_id]]
+            for key, arr in t.fields.items():
+                if key not in FIELD_KEYS:
+                    continue
+                npad = pad["cell" if key.startswith("cell") else "face"]
+                total += arr.shape[0] * npad * arr.shape[2] * 4
+        return total
+
+    def device_fields(self, mesh_ids: Tuple[str, ...]) -> Dict[str, jax.Array]:
+        """Full trajectory fields for one mesh combination as device arrays
+        ``{key: (T, B*Npad, D)}`` in batch layout, LRU-cached per combination.
+
+        With a fixed-chunk sampler each combination transfers ONCE for the
+        whole run; the scan-fused indexed train step then gathers its
+        (N, W, D) windows on device from per-step timestep indices instead of
+        shipping assembled field stacks from the host every call."""
+        if not hasattr(self, "_device_fields_cache"):
+            self._device_fields_cache = OrderedDict()
+            self._device_fields_cache_size = 16
+        cache = self._device_fields_cache
+        if mesh_ids in cache:
+            cache.move_to_end(mesh_ids)
+            return cache[mesh_ids]
+        pad = self._pad_for(mesh_ids)
+        T = min(self.by_id[m].num_timesteps for m in mesh_ids)
+        out = {}
+        for key in FIELD_KEYS:
+            if not all(key in self.by_id[m].fields for m in mesh_ids):
+                continue
+            npad = pad["cell" if key.startswith("cell") else "face"]
+            rows = []
+            for m in mesh_ids:
+                x = np.asarray(self.by_id[m].fields[key][:T])
+                rows.append(np.pad(x, ((0, 0), (0, npad - x.shape[1]), (0, 0))))
+            out[key] = jnp.asarray(np.concatenate(rows, axis=1))
+        while len(cache) >= self._device_fields_cache_size:
+            cache.popitem(last=False)
+        cache[mesh_ids] = out
+        return out
+
     # ---- rollout ground truth ----------------------------------------------
     def trajectory_fields(self, mesh_ids: Sequence[str], t0: int,
                           num_steps: int,
@@ -485,6 +532,38 @@ def prefetch_grouped(batch_iter, dataset: MeshDataset, k: int,
         if item is SENTINEL:
             break
         yield item
+
+
+def prefetch_indexed(batch_iter, dataset: MeshDataset, k: int):
+    """Index-driven grouping for the device-resident train path.
+
+    Like :func:`prefetch_grouped`, collects runs of consecutive sample
+    batches sharing one mesh combination — but instead of assembling host
+    field stacks it yields ``("indexed", graph, dev_fields, ts)`` where
+    ``dev_fields`` is the combination's device-resident full trajectory
+    store (:meth:`MeshDataset.device_fields`) and ``ts`` is the (k', B)
+    int32 timestep-index array, k' <= k. Host work per fused call is one
+    tiny index array; no background thread is needed."""
+    run, cur = [], None
+
+    def emit(run):
+        while run:
+            group, run = run[:k], run[k:]
+            g = dataset._batched_static(cur)
+            dev = dataset.device_fields(cur)
+            ts = np.asarray([[t for _, t in sb] for sb in group], np.int32)
+            yield ("indexed", g, dev, ts)
+
+    for samples in batch_iter:
+        ids = tuple(m for m, _ in samples)
+        if ids != cur:
+            yield from emit(run)
+            run, cur = [], ids
+        run.append(samples)
+        if len(run) == k:
+            yield from emit(run)
+            run = []
+    yield from emit(run)
 
 
 def rollout_batch(dataset: MeshDataset, t0: Optional[int] = None):

@@ -115,11 +115,50 @@ def balanced_chunked_batches(dataset, batch_size: int,
             yield batch
 
 
+def static_chunked_batches(dataset, batch_size: int,
+                           rng: np.random.Generator) -> Iterator[List[Sample]]:
+    """``balanced_chunked`` with chunks FIXED across epochs: meshes are
+    chunked once in sorted order (within padding buckets), and only the
+    chunk order and the per-mesh timestep order reshuffle per epoch. With
+    ``ceil(n_meshes / batch_size)`` distinct mesh combinations total, every
+    device-side cache keyed on the combination (static batched graph, banded
+    tables, device-resident trajectory fields) converges to a 100% hit rate
+    after the first epoch — zero steady-state host->device geometry/field
+    traffic, where ``balanced_chunked``'s per-epoch regrouping rebuilds and
+    retransfers every combination every epoch."""
+    by_mesh = defaultdict(list)
+    for sample in dataset.sample_map:
+        by_mesh[sample[0]].append(sample)
+    buckets = defaultdict(list)
+    for m in by_mesh:
+        buckets[getattr(dataset, "bucket_of", {}).get(m, 0)].append(m)
+    chunks = []
+    for b in sorted(buckets):
+        ids = sorted(buckets[b])
+        while len(ids) % batch_size:
+            ids.append(ids[len(ids) % batch_size - 1])
+        chunks.extend(sorted(ids[i:i + batch_size])
+                      for i in range(0, len(ids), batch_size))
+    for ci in rng.permutation(len(chunks)):
+        chunk = chunks[ci]
+        pools = {m: [by_mesh[m][k] for k in rng.permutation(len(by_mesh[m]))]
+                 for m in set(chunk)}
+        used = {m: 0 for m in chunk}
+        n = min(len(by_mesh[m]) for m in set(chunk))
+        for _ in range(n):
+            batch = []
+            for m in chunk:
+                batch.append(pools[m][used[m] % len(pools[m])])
+                used[m] += 1
+            yield batch
+
+
 SAMPLERS = {
     "multi_mesh": multi_mesh_batches,
     "chunked": chunked_batches,
     "per_mesh": per_mesh_batches,
     "balanced_chunked": balanced_chunked_batches,
+    "static_chunked": static_chunked_batches,
 }
 
 

@@ -150,6 +150,11 @@ class TrainingConfig:
     # tunneled TPU per-call dispatch latency dominates the ~12 ms of step
     # compute. Best when it divides mini_epoch_size // batch_size.
     steps_per_call: int = 1
+    # device-resident trajectory fields for the fused path: transfer each
+    # mesh combination's full field store to HBM once and gather per-step
+    # (N, W, D) windows on device from timestep indices. None = auto
+    # (enabled when the padded dataset fits a conservative HBM budget).
+    device_fields: Optional[bool] = None
 
 
 @dataclass

@@ -268,6 +268,98 @@ class Trainer:
 
         return jax.jit(step, donate_argnums=(0,))
 
+    def _build_indexed_train_step(self, with_pf: bool, window: int):
+        """Device-resident variant of :meth:`_build_multi_train_step`: the
+        full trajectory field store lives on device (``(T, B*Npad, D)`` per
+        field, transferred once per mesh combination) and each scan step
+        GATHERS its (N, W, D) window from per-step timestep indices. The
+        host contribution per fused call shrinks from ~30 MB of assembled
+        field stacks to a (k, B) int32 array; per-step math is identical to
+        the other train steps."""
+        model = self.model
+        optimizer = self.optimizer
+        noise_std = float(self.config.training.noise_std or 0.0)
+        pf = int(self.config.training.pushforward_factor or 0)
+        use_pf = with_pf and pf > 0 and model.pushforward_use
+        warm_slice = (not with_pf) and pf > 0 and model.pushforward_use
+        W = int(window)
+
+        def loss_fn(params, batch_stats, graph, feats, rng):
+            variables = {"params": params, "batch_stats": batch_stats}
+            outputs, updates = model.forward(variables, graph, feats,
+                                             mode="train",
+                                             rngs={"dropout": rng})
+            losses = model.loss(outputs, feats, graph)
+            return losses["total_log_loss"], (losses, updates)
+
+        def gather_windows(dev_fields, ts_b):
+            """{key: (T, B*Npad, D)} + (B,) start indices -> {key: (N, W, D)}."""
+            B = ts_b.shape[0]
+            out = {}
+            for key, arr in dev_fields.items():
+                T, NB, D = arr.shape
+                a = arr.reshape(T, B, NB // B, D)
+                win = jax.vmap(
+                    lambda x, t0: jax.lax.dynamic_slice_in_dim(x, t0, W, 0),
+                    in_axes=(1, 0))(a, ts_b)            # (B, W, Npad, D)
+                out[key] = win.transpose(0, 2, 1, 3).reshape(NB, W, D)
+            return out
+
+        def step(state: TrainState, graph: MeshGraph, dev_fields, ts, lrs):
+            def body(carry, xs):
+                state, _ = carry
+                ts_b, lr = xs
+                g = graph.replace(**gather_windows(dev_fields, ts_b))
+                if warm_slice:
+                    g = warmup_window(g)
+                rng, k_feat, k_drop = jax.random.split(state.rng, 3)
+                tgraph, feats = model.transform_features(
+                    g, k_feat, mode="train", noise_std=noise_std)
+                if use_pf:
+                    variables = {"params": state.params,
+                                 "batch_stats": state.batch_stats}
+                    feats = pushforward_retarget(model, variables, tgraph,
+                                                 feats, pf)
+                grads, (losses, updates) = jax.grad(loss_fn, has_aux=True)(
+                    state.params, state.batch_stats, tgraph, feats, k_drop)
+                opt_state = _set_lr(state.opt_state, lr)
+                p_updates, opt_state = optimizer.update(grads, opt_state,
+                                                        state.params)
+                params = optax.apply_updates(state.params, p_updates)
+                new_state = TrainState(
+                    params=params,
+                    batch_stats=updates.get("batch_stats", state.batch_stats),
+                    opt_state=opt_state,
+                    step=state.step + 1,
+                    rng=rng)
+                return (new_state, grads), losses
+
+            grads0 = jax.tree.map(jnp.zeros_like, state.params)
+            (state, grads), losses = jax.lax.scan(
+                body, (state, grads0), (ts, lrs))
+            return state, losses, (grads if self.monitor is not None
+                                   else None)
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def train_step_indexed(self, state: TrainState, graph: MeshGraph,
+                           dev_fields, ts, lrs, window: int) -> Tuple:
+        """Run ``ts.shape[0]`` fused steps on device-resident fields."""
+        warmup = int(getattr(self.config.training,
+                             "pushforward_warmup_epochs", 0) or 0)
+        with_pf = self.epoch_count > warmup
+        if getattr(self, "_indexed_step_fn", None) is None:
+            self._indexed_step_fn = {}
+        key = (with_pf, int(window))
+        if key not in self._indexed_step_fn:
+            self._indexed_step_fn[key] = self._build_indexed_train_step(
+                with_pf, window)
+        state, losses, grads = self._indexed_step_fn[key](
+            state, graph, dev_fields, jnp.asarray(ts),
+            jnp.asarray(lrs, jnp.float32))
+        self._last_grads = grads
+        return state, losses
+
     def train_step_multi(self, state: TrainState, graph: MeshGraph,
                          field_stack, lrs) -> Tuple:
         """Run ``len(lrs)`` fused steps (see _build_multi_train_step);
@@ -381,7 +473,18 @@ class Trainer:
                 spc = max(1, int(getattr(t, "steps_per_call", 1) or 1))
                 sampler_iter = get_sampler(cfg.dataset.sampler)(
                     train_dataset, t.batch_size, np_rng)
-                if spc > 1:
+                use_dev = getattr(t, "device_fields", None)
+                if use_dev is None:
+                    # auto: device-resident fields when the whole dataset's
+                    # padded trajectories fit a conservative HBM budget
+                    use_dev = (spc > 1 and train_dataset.
+                               estimate_device_field_bytes() <= 4e9)
+                if spc > 1 and use_dev:
+                    from gnn_fluid_dynamics_tpu.data.pipeline import (
+                        prefetch_indexed)
+                    batch_iter = prefetch_indexed(sampler_iter, train_dataset,
+                                                  spc)
+                elif spc > 1:
                     from gnn_fluid_dynamics_tpu.data.pipeline import (
                         prefetch_grouped)
                     batch_iter = prefetch_grouped(sampler_iter, train_dataset,
@@ -396,6 +499,15 @@ class Trainer:
                     self.sample_count += per_dev * n_dev
                     lr = schedule(self.mini_epoch_count)
                     state, losses = self.dp_train_step(state, graph, lr)
+                elif item[0] == "indexed":
+                    _, graph, dev, ts = item
+                    n = ts.shape[0]
+                    lr = schedule(self.mini_epoch_count)
+                    self.step_count += n
+                    self.sample_count += graph.num_graphs * n
+                    state, losses = self.train_step_indexed(
+                        state, graph, dev, ts, np.full((n,), lr),
+                        train_dataset.data_window)
                 elif item[0] == "multi":
                     _, graph, field_stack = item
                     n = next(iter(field_stack.values())).shape[0]

@@ -510,3 +510,122 @@ def test_warmup_window_makes_supervision_one_step():
         np.asarray(graph.face_velocity[:, -1]), rtol=1e-6)
     # a 2-step window passes through unchanged
     assert warmup_window(wgraph) is wgraph
+
+
+def test_indexed_step_matches_multi_step():
+    """The device-resident indexed train call must reproduce the field-stack
+    fused call bit-for-bit: same rng stream, windows gathered on device from
+    timestep indices instead of host-assembled stacks."""
+    from gnn_fluid_dynamics_tpu.data.pipeline import MeshDataset, Trajectory
+    from gnn_fluid_dynamics_tpu.data.synthetic import (make_geometry,
+                                                       taylor_green_trajectory)
+    from gnn_fluid_dynamics_tpu.models import get_model_class
+    from gnn_fluid_dynamics_tpu.models.base import (ModelConfig,
+                                                    feature_masks)
+    from gnn_fluid_dynamics_tpu.models.normalizer import StatsAccumulator
+    from gnn_fluid_dynamics_tpu.training.config import Config
+    from gnn_fluid_dynamics_tpu.training.trainer import Trainer
+
+    trajs = []
+    for i in range(2):
+        geom = make_geometry("structured", nx=6, ny=4, seed=i)
+        fields = taylor_green_trajectory(geom, num_timesteps=10, dt=0.01)
+        trajs.append(Trajectory(mesh_id=f"m{i}", geom=geom,
+                                fields=dict(fields)))
+    ds = MeshDataset(trajs, stride=1, data_window=4, pad_multiple=32)
+    cfg = Config()
+    cfg.training.noise_std = 0.01
+    cfg.training.pushforward_factor = 2
+    cfg.training.pushforward_warmup_epochs = 0
+    model = get_model_class("FvgnD")(ModelConfig(hidden_width=16, mp_num=1),
+                                     loss_weights=cfg.training.loss_weights)
+    mesh_ids = ("m0", "m1")
+    batches = [[("m0", 2 + i), ("m1", 5 - i)] for i in range(3)]
+    graph0 = ds.get_batch(batches[0])
+    _, feats = model.transform_features(graph0, None, mode="rollout")
+    acc = StatsAccumulator(model.nmap)
+    acc.update(feats, feature_masks(graph0, feats))
+    model.set_stats(acc.finalize())
+
+    trainer = Trainer(cfg, model)
+    trainer.epoch_count = 1
+    state0 = trainer.init_state(jax.random.PRNGKey(0), graph0, feats)
+    lrs = [1e-3, 1e-3, 5e-4]
+
+    s_multi = jax.tree.map(jnp.copy, state0)
+    g, stack = ds.get_batch_stack(batches)
+    s_multi, losses_m = trainer.train_step_multi(s_multi, g, stack, lrs)
+    losses_m = jax.device_get(losses_m)
+
+    s_idx = jax.tree.map(jnp.copy, state0)
+    dev = ds.device_fields(mesh_ids)
+    ts = np.asarray([[t for _, t in sb] for sb in batches], np.int32)
+    s_idx, losses_i = trainer.train_step_indexed(
+        s_idx, ds._batched_static(mesh_ids), dev, ts, lrs, ds.data_window)
+    losses_i = jax.device_get(losses_i)
+
+    for key in losses_m:
+        np.testing.assert_allclose(losses_i[key], losses_m[key],
+                                   rtol=1e-5, atol=1e-7, err_msg=key)
+    for pa, pb in zip(jax.tree.leaves(s_multi.params),
+                      jax.tree.leaves(s_idx.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-5, atol=1e-7)
+
+
+def test_prefetch_indexed_covers_all_batches():
+    """prefetch_indexed must cover every sampled batch exactly once with
+    correct timestep indices, including sub-k tail groups."""
+    from gnn_fluid_dynamics_tpu.data.pipeline import (MeshDataset, Trajectory,
+                                                      prefetch_indexed)
+    from gnn_fluid_dynamics_tpu.data.samplers import static_chunked_batches
+    from gnn_fluid_dynamics_tpu.data.synthetic import (make_geometry,
+                                                       taylor_green_trajectory)
+
+    trajs = []
+    for i in range(4):
+        geom = make_geometry("structured", nx=6, ny=4, seed=i)
+        fields = taylor_green_trajectory(geom, num_timesteps=9, dt=0.01)
+        trajs.append(Trajectory(mesh_id=f"m{i}", geom=geom,
+                                fields=dict(fields)))
+    ds = MeshDataset(trajs, stride=1, data_window=2, pad_multiple=32)
+    rng = np.random.default_rng(0)
+    sampled = list(static_chunked_batches(ds, 2, rng))
+    got = []
+    for item in prefetch_indexed(iter(sampled), ds, k=3):
+        assert item[0] == "indexed"
+        _, g, dev, ts = item
+        assert set(dev) >= {"cell_velocity", "cell_pressure"}
+        assert ts.ndim == 2 and ts.shape[1] == 2 and ts.shape[0] <= 3
+        got.append(ts)
+    n_emitted = sum(t.shape[0] for t in got)
+    assert n_emitted == len(sampled)
+    # static chunks: exactly 2 mesh combinations for 4 meshes at batch 2
+    combos = {tuple(m for m, _ in sb) for sb in sampled}
+    assert len(combos) == 2
+
+
+def test_static_chunked_chunks_are_epoch_stable():
+    """static_chunked must emit the SAME mesh combinations every epoch
+    (that is its whole point: caches keyed on the combo always hit)."""
+    from gnn_fluid_dynamics_tpu.data.pipeline import MeshDataset, Trajectory
+    from gnn_fluid_dynamics_tpu.data.samplers import static_chunked_batches
+    from gnn_fluid_dynamics_tpu.data.synthetic import (make_geometry,
+                                                       taylor_green_trajectory)
+
+    trajs = []
+    for i in range(6):
+        geom = make_geometry("structured", nx=5, ny=4, seed=i)
+        fields = taylor_green_trajectory(geom, num_timesteps=6, dt=0.01)
+        trajs.append(Trajectory(mesh_id=f"m{i}", geom=geom,
+                                fields=dict(fields)))
+    ds = MeshDataset(trajs, stride=1, data_window=2, pad_multiple=32)
+    rng = np.random.default_rng(0)
+    combos1 = {tuple(m for m, _ in b)
+               for b in static_chunked_batches(ds, 2, rng)}
+    combos2 = {tuple(m for m, _ in b)
+               for b in static_chunked_batches(ds, 2, rng)}
+    assert combos1 == combos2
+    assert len(combos1) == 3
+    # every mesh appears, timesteps shuffle between epochs
+    assert {m for c in combos1 for m in c} == {t.mesh_id for t in trajs}
