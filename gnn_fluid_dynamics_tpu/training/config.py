@@ -63,6 +63,11 @@ class DatasetConfig:
     # DataSet.py:127-172 streams with SWMR handles + a 25-mesh LRU).
     lazy: Optional[bool] = None
     cache_meshes: int = 100
+    # accumulate normalization stats over every stats_stride-th sample.
+    # The reference accumulates over the full dataset (DataSet.py:314-337);
+    # a uniform timestep subsample converges to the same Welford moments and
+    # cuts the one-time host-side pass proportionally.
+    stats_stride: int = 1
 
 
 @dataclass

@@ -150,8 +150,9 @@ def compute_stats(config, model, dataset):
     # device vs minutes on host. Stats are host-side dataset statistics;
     # there is nothing TPU-worthy here.
     cpu = jax.local_devices(backend="cpu")[0]
+    stride = max(1, int(getattr(config.dataset, "stats_stride", 1) or 1))
     with jax.default_device(cpu):
-        for i in range(len(dataset)):
+        for i in range(0, len(dataset), stride):
             graph = dataset.get_item(i)
             _, feats = model.transform_rollout(graph)
             acc.update(feats, feature_masks(graph, feats))
