@@ -629,3 +629,35 @@ def test_static_chunked_chunks_are_epoch_stable():
     assert len(combos1) == 3
     # every mesh appears, timesteps shuffle between epochs
     assert {m for c in combos1 for m in c} == {t.mesh_id for t in trajs}
+
+
+def test_stats_stride_subsamples_accumulation():
+    """dataset.stats_stride must accumulate over every k-th sample and leave
+    the resulting stats usable (finite, correct fields present)."""
+    from gnn_fluid_dynamics_tpu.training.config import Config
+    from gnn_fluid_dynamics_tpu.training.train import build_datasets, compute_stats
+    from gnn_fluid_dynamics_tpu.models import get_model_class
+    from gnn_fluid_dynamics_tpu.models.base import ModelConfig
+
+    cfg = Config()
+    cfg.dataset.module = "synthetic"
+    cfg.dataset.stats_fpath = None
+    cfg.training.data_sim_limit = 2
+    cfg.training.data_timestep_range = [0, 8]
+    model_cls = get_model_class("FvgnA")
+    model = model_cls(ModelConfig(hidden_width=8, mp_num=1))
+    ds, _ = build_datasets(cfg, model_cls)
+
+    cfg.dataset.stats_stride = 4
+    s4 = compute_stats(cfg, model, ds)
+    cfg.dataset.stats_stride = 1
+    s1 = compute_stats(cfg, model, ds)
+    assert set(s4) == set(s1)
+    for k in s1:
+        for stat in ("mean", "std"):
+            if stat in s1[k] and np.asarray(s1[k][stat]).size:
+                a, b = np.asarray(s1[k][stat]), np.asarray(s4[k][stat])
+                assert np.all(np.isfinite(b)), (k, stat)
+                # subsampled moments track the full pass closely on a
+                # smooth trajectory
+                np.testing.assert_allclose(a, b, rtol=0.5, atol=0.2)
