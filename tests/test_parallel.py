@@ -391,3 +391,56 @@ def test_spmd_rollout_matches_single_device():
     for a, b in zip(jax.tree.leaves(ref_fields), jax.tree.leaves(sp_fields)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-6)
+
+
+def test_dp_indexed_matches_sequential_dp_steps():
+    """The scan-fused device-resident DP step must reproduce k sequential
+    make_dp_train_step calls bit-for-bit: same RNG stream, windows gathered
+    on device from the per-device trajectory stores."""
+    from gnn_fluid_dynamics_tpu.parallel.data_parallel import (
+        make_dp_indexed_train_step, shard_device_fields)
+
+    ds, cfg, model, g0, feats = setup()
+    n_dev, k = 4, 3
+    mesh = make_device_mesh(n_dev)
+    optimizer = select_optimizer(cfg)
+    trainer = Trainer(cfg, model, optimizer=optimizer)
+    state0 = trainer.init_state(jax.random.PRNGKey(0), g0, feats)
+
+    ts = np.asarray([[[1 + (s + d) % 4] for d in range(n_dev)]
+                     for s in range(k)], np.int32)       # (k, n_dev, B=1)
+    lrs = [1e-3, 1e-3, 5e-4]
+
+    # sequential: k plain DP steps, per-step graphs assembled on host
+    state_seq = replicate(jax.tree.map(jnp.copy, state0), mesh)
+    dp_step = make_dp_train_step(model, optimizer, mesh, noise_std=0.0)
+    seq_losses = []
+    for s in range(k):
+        per_dev = [ds.get_batch([(f"mesh_{d}", int(ts[s, d, 0]))])
+                   for d in range(n_dev)]
+        state_seq, losses = dp_step(state_seq, shard_batch(per_dev, mesh),
+                                    lrs[s])
+        seq_losses.append(jax.device_get(losses))
+
+    # indexed: one fused call over device-resident trajectory stores
+    state_idx = replicate(jax.tree.map(jnp.copy, state0), mesh)
+    per_dev_static = [ds._batched_static((f"mesh_{d}",)) for d in range(n_dev)]
+    device_graphs = shard_batch(per_dev_static, mesh)
+    per_dev_fields = [ds.device_fields((f"mesh_{d}",)) for d in range(n_dev)]
+    device_fields = shard_device_fields(per_dev_fields, mesh)
+    idx_step = make_dp_indexed_train_step(model, optimizer, mesh,
+                                          window=ds.data_window,
+                                          noise_std=0.0)
+    state_idx, losses_i = idx_step(state_idx, device_graphs, device_fields,
+                                   ts, lrs)
+    losses_i = jax.device_get(losses_i)
+
+    for s, single in enumerate(seq_losses):
+        for key in single:
+            np.testing.assert_allclose(losses_i[key][s], single[key],
+                                       rtol=1e-5, atol=1e-7,
+                                       err_msg=f"step {s} loss {key}")
+    for pa, pb in zip(jax.tree.leaves(state_seq.params),
+                      jax.tree.leaves(state_idx.params)):
+        np.testing.assert_allclose(np.asarray(pa), np.asarray(pb),
+                                   rtol=1e-5, atol=1e-7)
