@@ -96,6 +96,11 @@ class ModelSection:
     # override the model class's pushforward flag (None = class default;
     # e.g. FluxD + pushforward for rollout-stable flagship training)
     pushforward: Optional[bool] = None
+    # with model.fpath set for TRAINING, the reference warm-starts weights
+    # and resumes the checkpoint's epoch counters (train.py:333-385).
+    # warm_start_reset=True keeps fresh counters/optimizer instead, for
+    # fine-tuning under a new schedule (TPU-build extension).
+    warm_start_reset: bool = False
 
 
 @dataclass

@@ -173,6 +173,38 @@ def set_noise_std(config, stats):
     print("Noise std set to:", config.training.noise_std)
 
 
+def warm_start_state(state, trainer, config):
+    """Warm-start for TRAINING from ``model.fpath`` (reference
+    train.py:333-385: ``torch.load(model.fpath)`` +
+    ``load_model_state_dict_flexible``): weights merge shape-tolerantly;
+    the optimizer starts fresh (the reference restores no optimizer state
+    on this path either). The reference resumes the checkpoint's epoch
+    counters; with ``model.warm_start_reset`` the counters stay at zero so
+    a fine-tune config's own schedule applies from its beginning."""
+    import jax.numpy as jnp
+
+    from gnn_fluid_dynamics_tpu.training.checkpoint import Checkpointer
+    from gnn_fluid_dynamics_tpu.training.model_loading import (
+        load_params_flexible)
+
+    wpath = config.model.fpath
+    wdir = os.path.dirname(wpath.rstrip("/"))
+    which = os.path.basename(wpath.rstrip("/"))
+    wtree, wmeta = Checkpointer(wdir).load(
+        which if which in ("latest", "best") else wpath)
+    assert wmeta is not None, f"no warm-start checkpoint at {wpath}"
+    merged, _ = load_params_flexible(state.params, wtree["params"])
+    state = state.replace(params=jax.tree.map(jnp.asarray, merged))
+    if not config.model.warm_start_reset:
+        trainer.mini_epoch_count = wmeta["mini_epoch"]
+        trainer.epoch_count = wmeta["epoch"]
+        trainer.step_count = wmeta["step"]
+        trainer.sample_count = wmeta["sample_count"]
+    print(f"Warm-started params from {wpath} (checkpoint epoch "
+          f"{wmeta['epoch']}, reset={config.model.warm_start_reset})")
+    return state
+
+
 def main(argv: Optional[List[str]] = None):
     parser = argparse.ArgumentParser()
     parser.add_argument("--config", type=str, required=True)
@@ -283,6 +315,8 @@ def main(argv: Optional[List[str]] = None):
         trainer.epoch_count = resume_meta["epoch"]
         trainer.step_count = resume_meta["step"]
         trainer.sample_count = resume_meta["sample_count"]
+    elif config.model.fpath:
+        state = warm_start_state(state, trainer, config)
 
     num_valid_steps = max(
         1, (valid_ds.timestep_range[1] - valid_ds.timestep_range[0] - 1)

@@ -661,3 +661,64 @@ def test_stats_stride_subsamples_accumulation():
                 # subsampled moments track the full pass closely on a
                 # smooth trajectory
                 np.testing.assert_allclose(a, b, rtol=0.5, atol=0.2)
+
+
+def test_warm_start_from_fpath(tmp_path):
+    """model.fpath warm-starts TRAINING weights via the flexible loader
+    (reference train.py:333-385): params match the checkpoint, counters
+    resume by default and stay fresh under model.warm_start_reset."""
+    from gnn_fluid_dynamics_tpu.models.base import feature_masks
+    from gnn_fluid_dynamics_tpu.training.checkpoint import Checkpointer
+    from gnn_fluid_dynamics_tpu.training.train import warm_start_state
+
+    ds = make_dataset()
+    cfg = Config()
+    cfg.training.batch_size = 2
+    cfg.training.noise_std = 0.0
+    cfg.training.epochs = 1
+    cfg.training.mini_epoch_size = 4
+    cfg.logging.save_frequency = 1
+    cfg.logging.valid_frequency = 1
+    model_cls = get_model_class("FluxD")
+    model = model_cls(ModelConfig(hidden_width=8, mp_num=1),
+                      loss_weights=cfg.training.loss_weights)
+    g = ds.get_batch(ds.sample_map[:2])
+    _, feats = model.transform_features(g, None, mode="rollout")
+    acc = StatsAccumulator(model.nmap)
+    acc.update(feats, feature_masks(g, feats))
+    model.set_stats(acc.finalize())
+
+    ckpt = Checkpointer(str(tmp_path / "ckpt"))
+    trainer = Trainer(cfg, model, logger=None, checkpointer=ckpt)
+    state = trainer.init_state(jax.random.PRNGKey(0), g, feats)
+    trainer.mini_epoch_count = 3
+    trainer.epoch_count = 2
+    trainer.step_count = 7
+    trainer.sample_count = 14
+    ckpt.save(state, trainer, valid_losses={"total_mean_error": 1.0})
+
+    # default semantics: weights merged, counters resumed from the checkpoint
+    cfg2 = Config()
+    cfg2.model.fpath = str(tmp_path / "ckpt" / "latest")
+    trainer2 = Trainer(cfg2, model, logger=None, checkpointer=None)
+    state2 = trainer2.init_state(jax.random.PRNGKey(1), g, feats)
+    before = jax.tree.leaves(state2.params)[0].copy()
+    state2 = warm_start_state(state2, trainer2, cfg2)
+    for a, b in zip(jax.tree.leaves(state2.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert (trainer2.epoch_count, trainer2.mini_epoch_count,
+            trainer2.step_count, trainer2.sample_count) == (2, 3, 7, 14)
+
+    # warm_start_reset: same weights, fresh counters
+    cfg3 = Config()
+    cfg3.model.fpath = str(tmp_path / "ckpt" / "best")
+    cfg3.model.warm_start_reset = True
+    trainer3 = Trainer(cfg3, model, logger=None, checkpointer=None)
+    state3 = trainer3.init_state(jax.random.PRNGKey(2), g, feats)
+    state3 = warm_start_state(state3, trainer3, cfg3)
+    for a, b in zip(jax.tree.leaves(state3.params),
+                    jax.tree.leaves(state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    assert trainer3.epoch_count == 0 and trainer3.step_count == 0
+    del before
