@@ -21,6 +21,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from gnn_fluid_dynamics_tpu.graph import MeshGraph
 from gnn_fluid_dynamics_tpu.models.losses import mse_per_graph, rel_mse_per_graph
@@ -190,23 +191,26 @@ def rollout_scan(model, variables: Dict, graph: MeshGraph,
 def error_summary(errors: Dict[str, jax.Array], sim_ids=None) -> Dict[str, Any]:
     """Scalar stats + per-trajectory evolution arrays
     (reference ``_error_save``, rollout.py:167-223)."""
+    # one bulk device->host transfer per error array: element-wise float()
+    # on a jax array issues a blocking RPC per scalar, which on a tunneled
+    # TPU costs minutes per (T=389, B=5) validation summary
+    host = {name: np.asarray(arr) for name, arr in errors.items()}
     out_scalar, out_evo = {}, {}
-    for name, arr in errors.items():
-        a = jnp.asarray(arr)                      # (T, B)
-        sim_means = jnp.mean(a, axis=0)           # per-sim mean across time
-        sim_vars = jnp.var(a, axis=1)             # across-sim variance per step
+    for name, a in host.items():                  # (T, B)
+        sim_means = a.mean(axis=0)                # per-sim mean across time
+        sim_vars = a.var(axis=1)                  # across-sim variance per step
         out_scalar[name] = {
-            "mean_all": float(jnp.mean(a)),
-            "max_all": float(jnp.max(a)),
-            "variance_mean_all": float(jnp.var(sim_means)),
-            "mean_variance_all": float(jnp.mean(sim_vars)),
+            "mean_all": float(a.mean()),
+            "max_all": float(a.max()),
+            "variance_mean_all": float(sim_means.var()),
+            "mean_variance_all": float(sim_vars.mean()),
         }
-        evo = {"evo_all": [float(x) for x in jnp.mean(a, axis=1)]}
+        evo = {"evo_all": a.mean(axis=1).tolist()}
         if sim_ids is not None:
             for i, sid in enumerate(sim_ids):
-                evo[f"evo_{sid}"] = [float(x) for x in a[:, i]]
+                evo[f"evo_{sid}"] = a[:, i].tolist()
         out_evo[name] = evo
-    if "velocity_error" in errors and "pressure_error" in errors:
+    if "velocity_error" in host and "pressure_error" in host:
         out_scalar["total_mean_error"] = float(
-            jnp.mean(errors["velocity_error"] + errors["pressure_error"]))
+            (host["velocity_error"] + host["pressure_error"]).mean())
     return out_scalar, out_evo
