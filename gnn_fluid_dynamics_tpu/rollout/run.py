@@ -96,7 +96,7 @@ def main(argv: Optional[List[str]] = None):
         loss_weights=config.training.loss_weights)
     model.set_stats(meta["stats"])      # stats come from the checkpoint
 
-    _, valid_ds = build_datasets(config, model_cls)
+    _, valid_ds = build_datasets(config, model_cls, splits=("valid",))
     sim_ids = valid_ds.sim_ids()
 
     # restore parameters

@@ -160,9 +160,8 @@ def main(argv: Optional[list] = None):
         loss_weights=config.training.loss_weights)
     model.set_stats(meta["stats"])
 
-    # only the validation set is probed — skip the (possibly large) train set
-    config.training.data_sim_limit = 1
-    _, valid_ds = build_datasets(config, model_cls)
+    # only the validation set is probed — skip the train set entirely
+    _, valid_ds = build_datasets(config, model_cls, splits=("valid",))
     graph = valid_ds.get_item(args.sample)
     _, feats = model.transform_rollout(graph)
     trainer = Trainer(config, model)

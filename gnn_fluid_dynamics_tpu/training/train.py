@@ -21,11 +21,17 @@ import jax
 import numpy as np
 
 
-def build_datasets(config, model_cls):
+def build_datasets(config, model_cls, splits=("train", "valid")):
     """Dataset construction for train + valid splits. ``dataset.module``
     selects the source: 'synthetic' generates Taylor-Green trajectories
     in-process; anything else reads the reference-layout HDF5 files
-    (<dpath>/<subset>.h5)."""
+    (<dpath>/<subset>.h5).
+
+    ``splits`` limits which splits are materialised; the return is always
+    ``(train_ds, valid_ds)`` with ``None`` for a skipped split. Rollout and
+    diagnose only read the valid split (normalization stats come from the
+    checkpoint), so evaluation-only datasets — e.g. the 676-step horizon
+    sims, which have no train.h5 — pass ``splits=("valid",)``."""
     from gnn_fluid_dynamics_tpu.data.pipeline import MeshDataset, compute_window
 
     stride, window = compute_window(config.model.timestep_stride,
@@ -112,19 +118,22 @@ def build_datasets(config, model_cls):
 
     train_ds = load(config.training.data_subset,
                     config.training.data_sim_limit,
-                    config.training.data_timestep_range, stride, window)
+                    config.training.data_timestep_range, stride,
+                    window) if "train" in splits else None
     valid_ds = load(config.rollout.data_subset, config.rollout.data_sim_limit,
                     config.rollout.data_timestep_range, r_stride, r_window,
-                    sim_index=config.rollout.data_sim_index)
+                    sim_index=config.rollout.data_sim_index) \
+        if "valid" in splits else None
 
-    if model_cls.cell_grad_weights_use:
-        order = config.model.cell_grad_weights_order or 1
-        train_ds.add_grad_weights("cell", order)
-        valid_ds.add_grad_weights("cell", order)
-    if model_cls.face_grad_weights_use:
-        order = config.model.face_grad_weights_order or 1
-        train_ds.add_grad_weights("face", order)
-        valid_ds.add_grad_weights("face", order)
+    for ds in (train_ds, valid_ds):
+        if ds is None:
+            continue
+        if model_cls.cell_grad_weights_use:
+            ds.add_grad_weights("cell", config.model.cell_grad_weights_order
+                                or 1)
+        if model_cls.face_grad_weights_use:
+            ds.add_grad_weights("face", config.model.face_grad_weights_order
+                                or 1)
     return train_ds, valid_ds
 
 

@@ -663,6 +663,36 @@ def test_stats_stride_subsamples_accumulation():
                 np.testing.assert_allclose(a, b, rtol=0.5, atol=0.2)
 
 
+def test_build_datasets_valid_only_split(tmp_path):
+    """splits=("valid",) must not touch train.h5 — evaluation-only datasets
+    (e.g. the long-horizon rollout sims) ship only a valid split, and the
+    rollout/diagnose CLIs take stats from the checkpoint, not the train set
+    (regression: the r4 queue's flagship rollout crashed on a missing
+    h5_long/train.h5)."""
+    from gnn_fluid_dynamics_tpu.data.hdf5 import save_dataset
+    from gnn_fluid_dynamics_tpu.models import get_model_class
+    from gnn_fluid_dynamics_tpu.training.config import Config
+    from gnn_fluid_dynamics_tpu.training.train import build_datasets
+
+    from gnn_fluid_dynamics_tpu.data.pipeline import Trajectory
+    geom = make_geometry("structured", nx=6, ny=4)
+    fields = taylor_green_trajectory(geom, num_timesteps=6, dt=0.01)
+    save_dataset(str(tmp_path / "valid.h5"),
+                 [Trajectory(mesh_id="mesh_0", geom=geom, fields=fields,
+                             dt=0.01, reynolds=100.0)])
+    cfg = Config()
+    cfg.dataset.module = "builtin"
+    cfg.dataset.dpath = str(tmp_path)
+    cfg.rollout.data_timestep_range = [0, 4]
+    model_cls = get_model_class("FvgnA")
+    train_ds, valid_ds = build_datasets(cfg, model_cls, splits=("valid",))
+    assert train_ds is None
+    assert len(valid_ds) > 0
+    # grad weights still attach to the one materialised split
+    if model_cls.cell_grad_weights_use:
+        assert valid_ds.get_item(0).cell_grad_weights is not None
+
+
 def test_warm_start_from_fpath(tmp_path):
     """model.fpath warm-starts TRAINING weights via the flexible loader
     (reference train.py:333-385): params match the checkpoint, counters
