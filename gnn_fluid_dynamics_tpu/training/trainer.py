@@ -411,10 +411,15 @@ class Trainer:
         return self._dp_step_fn[with_pf](state, device_graphs, lr)
 
     def _host_state(self, state: TrainState) -> TrainState:
-        """Pull a (replicated) DP state to host for validation/checkpoint."""
+        """Pull a (replicated) DP state to host for validation/checkpoint.
+
+        jax.device_get issues every leaf's device->host copy asynchronously
+        before blocking — on the tunneled axon platform a per-leaf
+        ``np.asarray`` map is ~600 sequential RPC round-trips per pull
+        (params + Adam moments), which dominated checkpoint-save latency."""
         if self.dp_mesh is None:
             return state
-        return jax.tree.map(np.asarray, state)
+        return jax.device_get(state)
 
     # ---- loop ---------------------------------------------------------------
     def run(self, state: TrainState, train_dataset: MeshDataset,
@@ -562,7 +567,12 @@ class Trainer:
 
                     if (valid_dataset is not None and cfg.logging.valid_frequency
                             and self.mini_epoch_count % cfg.logging.valid_frequency == 0):
-                        vl = self.validate(self._host_state(state),
+                        # single-device DP: validate straight off the device
+                        # state — a host pull + re-push is pure tunnel latency
+                        vstate = state if (self.dp_mesh is None
+                                           or self.dp_mesh.size == 1) \
+                            else self._host_state(state)
+                        vl = self.validate(vstate,
                                            valid_dataset, num_valid_steps)
                         self._log(vl, prefix="valid")
                         self._last_valid = vl
