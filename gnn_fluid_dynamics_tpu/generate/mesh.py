@@ -33,20 +33,43 @@ def have_gmsh() -> bool:
 
 
 def random_case_params(rng: np.random.Generator,
-                       lx: float = 2.0, ly: float = 1.0) -> Dict:
+                       lx: float = 2.0, ly: float = 1.0,
+                       regime: str = "viscosity") -> Dict:
     """Randomized obstacle position/size/angle and Reynolds number
-    (reference mesh.py:276-334)."""
+    (reference mesh.py:276-334).
+
+    Two Re regimes:
+
+    * ``viscosity`` (legacy rounds 2-4): ``u_in = 1`` fixed, Re drawn in
+      [100, 1000] and realised through the viscosity ``nu = u_in*D/Re``.
+      Since nu is NOT an input feature of any model family, the per-sim
+      pressure drop is unidentifiable from the model's inputs — two sims
+      with the same geometry and inflow but different nu are
+      indistinguishable one-step, yet have different pressure levels.
+    * ``inflow`` — faithful to the reference generator (mesh.py:280-331:
+      ``nu = 0.001`` fixed, ``Re = U(50, 200)``, ``u = Re*nu/D``): Re is
+      realised through the inlet speed, which IS observable from the
+      velocity features, so the pressure drop becomes learnable.
+    """
     rx = rng.uniform(0.06, 0.15)
     ry = rx * rng.uniform(0.5, 1.0)
-    return {
+    params = {
         "lx": lx, "ly": ly,
         "cx": rng.uniform(0.35, 0.6) * lx / 2.0,
         "cy": rng.uniform(0.35, 0.65) * ly,
         "rx": rx, "ry": ry,
         "angle": rng.uniform(0, np.pi),
-        "Re": float(rng.uniform(100, 1000)),
-        "u_in": 1.0,
+        "regime": regime,
     }
+    if regime == "inflow":
+        nu = 0.001
+        re = float(rng.uniform(50, 200))
+        params["Re"] = re
+        params["u_in"] = re * nu / (2.0 * rx)   # solver recovers nu = 0.001
+    else:
+        params["Re"] = float(rng.uniform(100, 1000))
+        params["u_in"] = 1.0
+    return params
 
 
 def cfl_dt(params: Dict, h: float, cfl: float = 0.5) -> float:
@@ -130,14 +153,23 @@ def main(argv=None):
     parser.add_argument("--out", type=str, default="data/meshes")
     parser.add_argument("--h", type=float, default=0.03)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--regime", choices=("viscosity", "inflow"),
+                        default="viscosity",
+                        help="how Re is realised (see random_case_params)")
+    parser.add_argument("--dt", type=float, default=None,
+                        help="fixed saved dt for every mesh (the reference "
+                             "uses one global dt = h_min/(2 v_max), "
+                             "mesh.py:302; per-sim dt would be a hidden, "
+                             "unobservable variable for the models). "
+                             "Default: per-sim CFL dt (legacy).")
     args = parser.parse_args(argv)
 
     rng = np.random.default_rng(args.seed)
     os.makedirs(args.out, exist_ok=True)
     for i in range(args.num):
-        params = random_case_params(rng)
+        params = random_case_params(rng, regime=args.regime)
         pos, cells, vt = generate_mesh(params, args.h)
-        params["dt"] = cfl_dt(params, args.h)
+        params["dt"] = args.dt if args.dt else cfl_dt(params, args.h)
         params["num_vertices"] = int(pos.shape[0])
         params["num_cells"] = int(cells.shape[0])
         case = os.path.join(args.out, f"mesh_{i}")

@@ -287,6 +287,12 @@ def main(argv=None):
                         help="saved intervals to simulate and discard before "
                              "recording (flushes the impulsive-start "
                              "pressure transient)")
+    parser.add_argument("--spinup-crossings", type=float, default=0.0,
+                        help="if > 0, raise the spinup to cover this many "
+                             "domain crossings (lx/u_in of physical time) so "
+                             "slow-inflow sims record developed flow; the "
+                             "adaptive substep makes a crossing cost roughly "
+                             "the same wall time at any u_in")
     parser.add_argument("--case-template", type=str, default="laminar_ellipse",
                         choices=["laminar_ellipse", "taylor_green",
                                  "turbulent", "manufactured"],
@@ -326,9 +332,15 @@ def main(argv=None):
             run_openfoam_case(template, os.path.join(args.out, case),
                               mesh, params, args.steps)
         else:
+            spinup = args.spinup
+            if args.spinup_crossings > 0:
+                dt_saved = params["dt"] * args.save_every
+                crossing = params["lx"] / max(params["u_in"], 1e-9)
+                spinup = max(spinup, int(np.ceil(
+                    args.spinup_crossings * crossing / dt_saved)))
             fields = simulate_projection(geom, params, args.steps,
                                          save_every=args.save_every,
-                                         spinup_saves=args.spinup)
+                                         spinup_saves=spinup)
             out_case = os.path.join(args.out, case)
             os.makedirs(out_case, exist_ok=True)
             # np.savez_compressed is not atomic: write to a temp name and

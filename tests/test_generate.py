@@ -245,3 +245,20 @@ def test_map_phi_surface_to_faces_sign_correction():
     out = map_phi_surface_to_faces(phi_pts, pts, geom["face_pos"],
                                    geom["face_normal"], face_u)
     np.testing.assert_allclose(out[:, 0], true_phi, rtol=1e-12, atol=1e-12)
+
+
+def test_inflow_regime_params():
+    """inflow regime (reference mesh.py:280-331): nu fixed at 0.001, Re in
+    [50, 200] realised through the inlet speed u = Re*nu/D — observable from
+    the velocity features, unlike the legacy viscosity regime."""
+    from gnn_fluid_dynamics_tpu.generate.mesh import random_case_params
+
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        p = random_case_params(rng, regime="inflow")
+        assert 50 <= p["Re"] <= 200
+        # the solver recovers nu = u_in * 2 rx / Re -> must be 0.001 exactly
+        nu = p["u_in"] * 2 * p["rx"] / p["Re"]
+        np.testing.assert_allclose(nu, 0.001, rtol=1e-12)
+    legacy = random_case_params(rng)
+    assert legacy["u_in"] == 1.0 and 100 <= legacy["Re"] <= 1000
