@@ -1,0 +1,45 @@
+#!/usr/bin/env bash
+# Round-4 session-3 data generation: the reference-faithful "inflow" regime
+# (nu = 0.001 fixed, Re in [50,200] via inlet speed, one global dt = 0.01,
+# 1.5-crossing spinup so every sim records developed flow).
+# Priority order matches datagen_r4.sh: train+valid first so TPU training
+# can start as early as possible, then the 680-step eval sims, then test.
+set -u
+cd /root/repo
+exec 201>/tmp/datagen_r5.lock
+if ! flock -n 201; then echo "datagen_r5 already running" >&2; exit 1; fi
+echo $$ > /tmp/datagen_r5.pid
+LOG=/root/data/e2e5/datagen.log
+note() { echo "=== $(date +%T) $* ===" >> "$LOG"; }
+note "datagen_r5 start"
+
+lex() { python -c "print(sorted(f'mesh_{j}' for j in range(55)).index('mesh_$1'))"; }
+
+for i in $(seq 0 48); do
+    [ -e "/root/data/e2e5/raw/mesh_$i/time.log" ] && continue
+    python -m gnn_fluid_dynamics_tpu.generate.simulation \
+        --meshes /root/data/e2e5/meshes --out /root/data/e2e5/raw \
+        --steps 400 --backend builtin --spinup-crossings 1.5 \
+        --shard-index "$(lex $i)" --num-shards 55 >> "$LOG" 2>&1
+done
+note "train+valid raw done (0..48)"
+touch /root/data/e2e5/raw/.trainvalid_done
+
+for i in 0 1 2 3 4 5; do
+    python -m gnn_fluid_dynamics_tpu.generate.simulation \
+        --meshes /root/data/e2e5/meshes_long --out /root/data/e2e5/raw_long \
+        --steps 680 --backend builtin --spinup-crossings 1.5 \
+        --shard-index "$i" --num-shards 6 >> "$LOG" 2>&1
+done
+note "long raw done (44..49 @ 680)"
+touch /root/data/e2e5/raw_long/.long_done
+
+for i in $(seq 49 54); do
+    [ -e "/root/data/e2e5/raw/mesh_$i/time.log" ] && continue
+    python -m gnn_fluid_dynamics_tpu.generate.simulation \
+        --meshes /root/data/e2e5/meshes --out /root/data/e2e5/raw \
+        --steps 400 --backend builtin --spinup-crossings 1.5 \
+        --shard-index "$(lex $i)" --num-shards 55 >> "$LOG" 2>&1
+done
+note "test raw done (49..54)"
+note "datagen_r5 done"
