@@ -9,9 +9,30 @@ cd /root/repo
 exec 201>/tmp/datagen_r5.lock
 if ! flock -n 201; then echo "datagen_r5 already running" >&2; exit 1; fi
 echo $$ > /tmp/datagen_r5.pid
+mkdir -p /root/data/e2e5
 LOG=/root/data/e2e5/datagen.log
 note() { echo "=== $(date +%T) $* ===" >> "$LOG"; }
 note "datagen_r5 start"
+
+# Self-bootstrap the meshes (the VM may have been recycled; /root/data is
+# not persistent). 55 inflow-regime meshes, one global dt = 0.01, seed 0;
+# meshes_long = the eval geometries (mesh_44..49) re-used verbatim so the
+# 680-step sims run on exactly the meshes the valid split evaluates.
+if [ ! -e /root/data/e2e5/meshes/.done ]; then
+    python -m gnn_fluid_dynamics_tpu.generate.mesh \
+        --num 55 --out /root/data/e2e5/meshes \
+        --regime inflow --dt 0.01 --seed 0 >> "$LOG" 2>&1 \
+        && touch /root/data/e2e5/meshes/.done
+    note "meshes done"
+fi
+if [ ! -e /root/data/e2e5/meshes_long/.done ]; then
+    mkdir -p /root/data/e2e5/meshes_long
+    for i in 44 45 46 47 48 49; do
+        cp -r "/root/data/e2e5/meshes/mesh_$i" /root/data/e2e5/meshes_long/
+    done
+    touch /root/data/e2e5/meshes_long/.done
+    note "meshes_long staged (44..49)"
+fi
 
 lex() { python -c "print(sorted(f'mesh_{j}' for j in range(55)).index('mesh_$1'))"; }
 
