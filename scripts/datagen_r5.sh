@@ -16,19 +16,28 @@ note "datagen_r5 start"
 
 # Self-bootstrap the meshes (the VM may have been recycled; /root/data is
 # not persistent). 55 inflow-regime meshes, one global dt = 0.01, seed 0;
-# meshes_long = the eval geometries (mesh_44..49) re-used verbatim so the
-# 680-step sims run on exactly the meshes the valid split evaluates.
-if [ ! -e /root/data/e2e5/meshes/.done ]; then
+# meshes_long = the long-horizon eval geometries (valid 44..48 plus test 49,
+# per config/e2e/subsets_long.json) re-used verbatim so the 680-step sims run
+# on exactly the meshes the long eval reads.
+# An already-populated directory counts as done even without the marker (the
+# marker postdates the first e2e5 run); regenerating over live meshes while
+# raw/*/time.log markers skip re-simulation would silently pair old fields
+# with new geometry.
+if [ ! -e /root/data/e2e5/meshes/.done ] \
+   && [ ! -e /root/data/e2e5/meshes/mesh_54/meta.json ]; then
+    rm -rf /root/data/e2e5/raw /root/data/e2e5/raw_long   # fields may never outlive their meshes
     python -m gnn_fluid_dynamics_tpu.generate.mesh \
         --num 55 --out /root/data/e2e5/meshes \
         --regime inflow --dt 0.01 --seed 0 >> "$LOG" 2>&1 \
-        && touch /root/data/e2e5/meshes/.done
+        || { note "mesh gen FAILED"; exit 1; }
+    touch /root/data/e2e5/meshes/.done
     note "meshes done"
 fi
 if [ ! -e /root/data/e2e5/meshes_long/.done ]; then
     mkdir -p /root/data/e2e5/meshes_long
     for i in 44 45 46 47 48 49; do
-        cp -r "/root/data/e2e5/meshes/mesh_$i" /root/data/e2e5/meshes_long/
+        cp -r "/root/data/e2e5/meshes/mesh_$i" /root/data/e2e5/meshes_long/ \
+            || { note "meshes_long staging FAILED at mesh_$i"; exit 1; }
     done
     touch /root/data/e2e5/meshes_long/.done
     note "meshes_long staged (44..49)"
@@ -42,6 +51,10 @@ for i in $(seq 0 48); do
         --meshes /root/data/e2e5/meshes --out /root/data/e2e5/raw \
         --steps 400 --backend builtin --spinup-crossings 1.5 \
         --shard-index "$(lex $i)" --num-shards 55 >> "$LOG" 2>&1
+done
+for i in $(seq 0 48); do
+    [ -e "/root/data/e2e5/raw/mesh_$i/time.log" ] \
+        || { note "train+valid raw INCOMPLETE (mesh_$i missing)"; exit 1; }
 done
 note "train+valid raw done (0..48)"
 touch /root/data/e2e5/raw/.trainvalid_done
