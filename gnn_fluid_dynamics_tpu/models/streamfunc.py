@@ -46,7 +46,26 @@ def smoothing_layer(potential: jax.Array, neighbours: jax.Array,
     return jnp.mean(psi[neighbours[:, :k]], axis=1)
 
 
-class StreamFuncA(MgnC):
+class _StreamFuncRolloutMixin:
+    """Rollout feedback per ``BaseStreamFunc.update_features``
+    (StreamFunc.py:77-91): clamp INFLOW|WALL faces only — NOT the full
+    boundary mask the Mgn base uses (Mgn.py:147). OUTFLOW faces keep the
+    predicted Δv."""
+
+    def update_features(self, solutions, feats, graph):
+        from gnn_fluid_dynamics_tpu.models.transforms import (
+            calc_face_velocity_change, rollout_bc_mask)
+        new_feats = dict(feats)
+        v = solutions["cell_velocity"]
+        new_feats["cell_x"] = v
+        dv = calc_face_velocity_change(v[:, :2], graph.cell_edge_index)
+        mask = rollout_bc_mask(graph.face_type)
+        dv = jnp.where(mask[:, None], feats["face_y"][:, 0:2], dv)
+        new_feats["face_x"] = feats["face_x"].at[:, 0:2].set(dv)
+        return new_feats
+
+
+class StreamFuncA(_StreamFuncRolloutMixin, MgnC):
     """psi -> perp-grad velocity in normalized space (StreamFunc.py:109-135)."""
 
     name = "StreamFuncA"
@@ -131,7 +150,7 @@ class StreamFuncB(StreamFuncA):
         return outputs, updates
 
 
-class StreamFuncC(MgnB):
+class StreamFuncC(_StreamFuncRolloutMixin, MgnB):
     """No normalization in the forward pass (StreamFunc.py:170-192)."""
 
     name = "StreamFuncC"
