@@ -221,6 +221,13 @@ class VertPotA(FluxA):
             "cell_flux": bundle["cell_out"][:, 2:5],
             "face_velocity": bundle["face_out"][:, 0:2],
             "face_pressure": bundle["face_out"][:, 2:3],
+            # the RAW telescoped flux (pre-denorm): exactly div-free by
+            # construction (VertPot.py:25-40). The denormalized "cell_flux"
+            # above is NOT — z-score inversion adds the dataset-mean flux to
+            # all 3 local faces, so its divergence is the constant 3*mean
+            # per cell (a parity-faithful artifact; the reference shares the
+            # z-score scheme, Flux.py:46). Rollout reports both metrics.
+            "_cell_flux_raw": cell_flux,
             "_nfeats": nfeats,
             **{f"_{k}": v for k, v in extras.items()},
         }

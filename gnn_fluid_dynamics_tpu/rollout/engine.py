@@ -117,6 +117,16 @@ def rollout_scan(model, variables: Dict, graph: MeshGraph,
         ys["divergence_error" + suffix] = mse_per_graph(
             div, jnp.zeros_like(div), graph.cell_mask, graph.cell_batch,
             num_graphs)
+        if suffix == "" and "_cell_flux_raw" in sol:
+            # conservation evidence on the raw telescoped flux (pre-denorm):
+            # the denormalized metric above carries a constant 3*mean-flux
+            # offset from z-score inversion (see VertPotA.forward)
+            draw = jnp.where(
+                graph.cell_mask[:, None],
+                fvm.divergence_from_cell_flux(sol["_cell_flux_raw"]), 0.0)
+            ys["divergence_raw_error"] = mse_per_graph(
+                draw, jnp.zeros_like(draw), graph.cell_mask,
+                graph.cell_batch, num_graphs)
 
     def step(feats, gt_t):
         outputs, _ = model.forward(variables, graph, feats, mode="rollout")
@@ -179,7 +189,8 @@ def rollout_scan(model, variables: Dict, graph: MeshGraph,
                 ys[base] = v.reshape(-1, *v.shape[2:])
 
     errors = {k: ys[k] for k in ("velocity_error", "pressure_error",
-                                 "divergence_error") if k in ys}
+                                 "divergence_error", "divergence_raw_error")
+              if k in ys}
     fields = {k: ys[k] for k in SAVABLE_FIELDS if k in ys}
     # always expose the final state so callers (and benchmarks) have a data
     # dependency on every step even when per-step outputs are disabled —

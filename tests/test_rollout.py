@@ -239,3 +239,40 @@ def test_profiling_utils():
         y = x * 2
     assert t.mean("op") >= 0
     assert isinstance(device_memory_stats(), dict)
+
+
+def test_vertpot_raw_flux_divergence():
+    """VertPot's 'exactly div-free by construction' claim, evidenced on the
+    RAW telescoped flux (reference VertPot.py:25-40). The denormalized
+    cell_flux metric carries a constant 3*mean offset from z-score inversion
+    (parity-faithful; see VertPotA.forward), so the rollout engine reports a
+    second ``divergence_raw_error`` on the pre-denorm flux — that one must be
+    roundoff-zero for ANY weights, trained or not (the telescoping sum
+    cancels algebraically, independent of the network)."""
+    from gnn_fluid_dynamics_tpu.ops import fvm
+    ds = make_dataset()
+    model, variables, g, feats = setup_model(ds, name="VertPotA")
+
+    # single rollout-mode forward: raw telescoped flux is exposed
+    outputs, _ = model.forward(variables, g, feats, mode="rollout")
+    raw = outputs["_cell_flux_raw"]
+    div = np.asarray(fvm.divergence_from_cell_flux(raw))
+    div = div[np.asarray(g.cell_mask)]
+    scale = max(float(np.abs(np.asarray(raw)).max()), 1e-12)
+    assert np.abs(div).max() <= 1e-6 * max(scale, 1.0), (
+        np.abs(div).max(), scale)
+    # ...while the denormalized flux is NOT div-free (the 3*mean artifact)
+    dden = np.asarray(
+        fvm.divergence_from_cell_flux(outputs["cell_flux"]))
+    assert np.abs(dden[np.asarray(g.cell_mask)]).max() > 1e-6
+
+    # and through the scan: the reported metric is roundoff-zero every step
+    gt_v, gt_p = ds.trajectory_targets(ds.sim_ids(), 0, 6)
+    errors, _ = rollout_scan(model, variables, g, feats, gt_v, gt_p,
+                             RolloutConfig(num_steps=6))
+    assert "divergence_raw_error" in errors
+    raw_mse = np.asarray(errors["divergence_raw_error"])
+    assert raw_mse.shape == (6, 2)
+    assert raw_mse.max() <= 1e-12, raw_mse.max()
+    # the parity-faithful denormalized metric stays reported alongside
+    assert np.asarray(errors["divergence_error"]).min() > 0
