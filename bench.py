@@ -102,6 +102,17 @@ def run_rollout_bench(model_name: str, hidden: int, mp_num: int, steps: int,
 
 
 def main():
+    # persistent XLA compilation cache (same wiring as training/train.py and
+    # rollout/run.py): first bench on a fresh process pays ~8 s / ~20 s
+    # compile at the two scale points; warm runs load from the cache
+    try:
+        import os
+        cache_dir = os.environ.get("GFD_JAX_CACHE",
+                                   os.path.expanduser("~/.cache/gfd_jax"))
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     parser = argparse.ArgumentParser()
     parser.add_argument("--steps", type=int, default=600)
     parser.add_argument("--hidden", type=int, default=128)
