@@ -40,14 +40,60 @@ def decompose(path: str, steps: int):
     return out
 
 
+def structure(path: str, start: int = 100, stride: int = 12):
+    """Second-level split of the gauge-free pressure error: time-mean field
+    vs oscillation (the r5 follow-up after the spatial-mean component
+    collapsed on inflow data). Per mesh, reports the predicted/gt field
+    correlation and amplitude ratio, and the relative error carried by the
+    time-mean field vs the oscillatory residual — distinguishing a per-sim
+    dynamic-pressure amplitude misestimate (mean-field dominated, high corr,
+    amp far from 1) from shedding phase/amplitude error (osc dominated)."""
+    out = {}
+    with h5py.File(os.path.join(path, "data0.h5"), "r") as f:
+        for mesh in sorted(k for k in f if k.startswith("mesh_")):
+            sl = slice(start, None, stride)
+            p = f[f"{mesh}/cell/pressure"][sl, :, 0]
+            g = f[f"{mesh}/cell/pressure_gt"][sl, :, 0]
+            pf = p - p.mean(axis=1, keepdims=True)   # gauge-free
+            gf = g - g.mean(axis=1, keepdims=True)
+            pm, gm = pf.mean(axis=0), gf.mean(axis=0)
+            den = (gf ** 2).mean()
+            out[mesh] = {
+                "corr": float(np.corrcoef(pf.ravel(), gf.ravel())[0, 1]),
+                "amp_ratio": float(pf.std() / max(gf.std(), 1e-12)),
+                "rel_mean_field": float(((pm - gm) ** 2).mean() / den),
+                "rel_oscillation": float(
+                    (((pf - pm) - (gf - gm)) ** 2).mean() / den),
+                "gt_osc_fraction": float((gf - gm).std() / max(gf.std(), 1e-12)),
+            }
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("rollout_dir")
     ap.add_argument("--steps", type=int, default=50,
                     help="leading timesteps to analyse (early steps isolate "
                          "one-step head quality from autoregressive drift)")
+    ap.add_argument("--structure", action="store_true",
+                    help="also split the gauge-free error into time-mean "
+                         "field vs oscillation parts")
     ap.add_argument("--json", action="store_true")
     args = ap.parse_args()
+
+    if args.structure:
+        res = structure(args.rollout_dir)
+        if args.json:
+            print(json.dumps(res, indent=1))
+        else:
+            print(f"{'mesh':<10} {'corr':>6} {'amp':>6} {'mean-field':>11} "
+                  f"{'oscillation':>12} {'gt osc frac':>12}")
+            for mesh, r in res.items():
+                print(f"{mesh:<10} {r['corr']:>6.3f} {r['amp_ratio']:>6.2f} "
+                      f"{r['rel_mean_field']:>11.4f} "
+                      f"{r['rel_oscillation']:>12.4f} "
+                      f"{r['gt_osc_fraction']:>12.2f}")
+        return
 
     res = decompose(args.rollout_dir, args.steps)
     if args.json:
