@@ -31,7 +31,9 @@ from gnn_fluid_dynamics_tpu.models.arch import (ArchConfig, EncodeProcessDecode,
                                                 FvgnIntegrator,
                                                 LearnedScaleDenorm, gather3)
 from gnn_fluid_dynamics_tpu.models.fvgn import FvgnA, _f, _z
-from gnn_fluid_dynamics_tpu.models.losses import combined_log_loss, mse_per_element
+from gnn_fluid_dynamics_tpu.models.losses import (combined_log_loss,
+                                                  mse_per_element,
+                                                  rel_mse_per_graph)
 from gnn_fluid_dynamics_tpu.ops import fvm
 from gnn_fluid_dynamics_tpu.ops.geometry import cell_to_face
 
@@ -136,6 +138,19 @@ class FluxA(FvgnA):
             "face_pressure": mse_per_element(
                 outputs["face_pressure"], nfeats["face_y"][:, 2:3], fmask),
         }
+        if self.loss_weights.get("face_pressure_rel"):
+            # optional per-graph relative pressure term on RAW pressure —
+            # the rollout error metric itself (reference ``RelMSE_per_graph``,
+            # loss.py:70-89). Under global z-score the absolute MSE term puts
+            # almost no gradient on low-signal meshes, which dominate the
+            # relative rollout error; this term weights every mesh equally in
+            # its own scale. Prediction is denormalized with the same stats
+            # normalize_outputs applied.
+            p_raw = norm.z_score(outputs["face_pressure"],
+                                 self.stats["face_pressure"], inverse=True)
+            comps["face_pressure_rel"] = jnp.mean(rel_mse_per_graph(
+                p_raw, feats["face_y"][:, 2:3], fmask, graph.face_batch,
+                graph.num_graphs))
         total = combined_log_loss(comps, self.loss_weights)
         return {"total_log_loss": total,
                 **{f"{k}_loss": v for k, v in comps.items()}}

@@ -545,3 +545,45 @@ def test_pallas_chunked_fused_kernels_match_per_tile():
         np.asarray(o_chunk["cell_velocity_change"][:C]),
         np.asarray(o_tile["cell_velocity_change"][:C]),
         rtol=1e-5, atol=1e-6)
+
+
+def test_fluxd_rel_pressure_loss_term():
+    """Optional ``face_pressure_rel`` loss weight adds a per-graph relative
+    MSE on RAW face pressure (the rollout error metric, reference
+    ``RelMSE_per_graph`` loss.py:70-89) and puts gradient on the pressure
+    head; absent from the weights dict, the loss is unchanged."""
+    graph = build_graph()
+    model = make_model("FluxD", graph)
+    rng = jax.random.PRNGKey(0)
+    tgraph, feats = model.transform_features(graph, rng, mode="train")
+    variables = model.init(jax.random.PRNGKey(1), tgraph, feats)
+    outputs, _ = model.forward(variables, tgraph, feats, mode="train")
+    base = model.loss(outputs, feats, tgraph)
+    assert "face_pressure_rel_loss" not in base
+
+    model.loss_weights = dict(model.loss_weights, face_pressure_rel=100.0)
+    withrel = model.loss(outputs, feats, tgraph)
+    rel = withrel["face_pressure_rel_loss"]
+    assert jnp.isfinite(rel) and float(rel) >= 0
+    # rel term on raw pressure: invariant to the z-score stats scale, so it
+    # must equal rel-MSE computed directly from denormalized outputs
+    from gnn_fluid_dynamics_tpu.models import normalizer as norm_mod
+    from gnn_fluid_dynamics_tpu.models.losses import rel_mse_per_graph
+    p_raw = norm_mod.z_score(outputs["face_pressure"],
+                             model.stats["face_pressure"], inverse=True)
+    expect = jnp.mean(rel_mse_per_graph(
+        p_raw, feats["face_y"][:, 2:3], tgraph.face_mask, tgraph.face_batch,
+        tgraph.num_graphs))
+    assert float(rel) == pytest.approx(float(expect), rel=1e-6)
+    assert float(withrel["total_log_loss"]) > float(base["total_log_loss"])
+
+    # gradient flows into the pressure head through the rel term alone
+    only_rel = {"face_pressure_rel": 1.0}
+    def f(params):
+        vs = dict(variables); vs["params"] = params
+        o, _ = model.forward(vs, tgraph, feats, mode="train")
+        model.loss_weights = only_rel
+        return model.loss(o, feats, tgraph)["total_log_loss"]
+    g = jax.grad(f)(variables["params"])
+    psum = float(jnp.abs(g["pressure_scale"]["scale"]).sum())
+    assert np.isfinite(psum) and psum > 0
